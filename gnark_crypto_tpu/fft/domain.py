@@ -1,0 +1,67 @@
+"""FFT domain: roots-of-unity subgroup + twiddle tables, on device.
+
+TPU-native analogue of the reference's fft.Domain (ecc/bn254/fr/fft/domain.go:
+25-53, NewDomain :67, preComputeTwiddles :138).  Differences:
+
+- twiddle/coset tables are built on device by doubling (log N vectorized
+  Montgomery muls) instead of serial host loops;
+- a single stage-0 table (w^0 .. w^(N/2-1)) is stored and per-stage twiddles
+  are strided views of it, instead of per-stage materialized tables.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fields import mont
+from ..fields.spec import FieldSpec
+
+
+def powers(spec: FieldSpec, base: int, n: int):
+    """Device array [1, b, b^2, ..., b^(n-1)] (mont form) via doubling."""
+    arr = mont.one(spec, (1,))
+    if n == 1:
+        return arr
+    cur = mont.const(spec, base, (1,))  # base^len with len = arr length
+    while arr.shape[1] < n:
+        arr = jnp.concatenate([arr, mont.mul(spec, arr, cur)], axis=1)
+        if arr.shape[1] < n:
+            cur = mont.mul(spec, cur, cur)
+    return arr[:, :n]
+
+
+class Domain:
+    """Radix-2 evaluation domain of size 2^log2n over spec's field."""
+
+    def __init__(self, spec: FieldSpec, cardinality: int, with_coset_tables: bool = True):
+        n = 1
+        log2n = 0
+        while n < cardinality:
+            n *= 2
+            log2n += 1
+        assert log2n <= spec.two_adicity, (
+            f"domain 2^{log2n} exceeds field two-adicity {spec.two_adicity}"
+        )
+        self.spec = spec
+        self.cardinality = n
+        self.log2n = log2n
+        q = spec.modulus
+        g = spec.multiplicative_generator
+        assert g != 0, f"no multiplicative generator registered for {spec.name}"
+        # generator of the size-n subgroup (domain.go:67 semantics)
+        self.generator = pow(g, (q - 1) >> log2n, q)
+        self.generator_inv = pow(self.generator, -1, q)
+        self.cardinality_inv = pow(n, -1, q)
+        self.fr_multiplicative_gen = g
+        self.fr_multiplicative_gen_inv = pow(g, -1, q)
+        # stage-0 twiddles w^0..w^(n/2-1); per-stage = strided views
+        m = max(n // 2, 1)
+        self.twiddles = powers(spec, self.generator, m)
+        self.twiddles_inv = powers(spec, self.generator_inv, m)
+        if with_coset_tables:
+            self.coset_table = powers(spec, g, n)
+            # g^-i with 1/n NOT folded (folded at use site, like domain.go)
+            self.coset_table_inv = powers(spec, self.fr_multiplicative_gen_inv, n)
+        else:
+            self.coset_table = None
+            self.coset_table_inv = None

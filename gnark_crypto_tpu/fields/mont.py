@@ -1,0 +1,392 @@
+"""Generic multi-limb Montgomery arithmetic on uint32 arrays (16-bit limbs).
+
+The batched, TPU-native equivalent of the reference's per-field element code
+(ecc/bn254/fr/element.go + field/asm/element_4w_amd64.s).  Differences by design:
+
+- The primitive unit is an *array of elements*, not one element.  Layout is
+  structure-of-arrays with a LEADING limb axis: shape (n_limbs, *batch), so the
+  large batch axis lands on TPU lanes and the tiny limb axis does not waste a
+  128-lane tile.
+- Limbs are 16 bits held in uint32.  The CIOS inner step t + a*b + c is exact
+  in uint32 (max (2^16-1)^2 + 2*(2^16-1) = 2^32-1), mirroring the 64-bit ADX
+  carry chain of the reference (ecc/bn254/fr/element_purego.go:44, CIOS per
+  "Faster Montgomery Multiplication ... for SNARKs", TCHES 2023).
+- Loops over limb indices are Python loops unrolled at trace time (the
+  trace-time analogue of goff's code generation); everything stays elementwise
+  over the batch so XLA fuses it into a handful of kernels.
+
+All functions are pure and shape-polymorphic over the batch; `spec` must be a
+static (hashable) FieldSpec when used under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import LIMB_BITS, LIMB_MASK, FieldSpec, limbs_to_int
+
+_MASK = jnp.uint32(LIMB_MASK)
+_SHIFT = LIMB_BITS
+
+
+def _bc(c: np.ndarray, ndim: int):
+    """Broadcast a (n_limbs,) constant against a (n_limbs, *batch) array."""
+    return jnp.asarray(c, dtype=jnp.uint32).reshape(c.shape + (1,) * ndim)
+
+
+def zeros(spec: FieldSpec, batch_shape=()) -> jax.Array:
+    return jnp.zeros((spec.n_limbs,) + tuple(batch_shape), dtype=jnp.uint32)
+
+
+def const(spec: FieldSpec, value: int, batch_shape=(), mont: bool = True) -> jax.Array:
+    """Constant element broadcast to batch_shape (Montgomery form by default)."""
+    limbs = spec.mont_limbs(value) if mont else spec.limbs(value)
+    return jnp.broadcast_to(
+        _bc(limbs, len(batch_shape)), (spec.n_limbs,) + tuple(batch_shape)
+    )
+
+
+def one(spec: FieldSpec, batch_shape=()) -> jax.Array:
+    return const(spec, 1, batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# carry / compare helpers
+# ---------------------------------------------------------------------------
+
+
+def _carry_prop(limbs: list[jax.Array]):
+    """Propagate carries; returns (norm_limbs < 2^16 each, carry_out)."""
+    out = []
+    c = None
+    for x in limbs:
+        v = x if c is None else x + c
+        out.append(v & _MASK)
+        c = v >> _SHIFT
+    return out, c
+
+
+def _cond_sub_q(spec: FieldSpec, t: list[jax.Array], overflow: jax.Array):
+    """Return t - q if (overflow or t >= q) else t.  t limbs are < 2^16."""
+    n = spec.n_limbs
+    q = _bc(spec.q_limbs, t[0].ndim)
+    d = []
+    borrow = jnp.zeros_like(t[0])
+    for i in range(n):
+        v = t[i] - q[i] - borrow  # wraps mod 2^32
+        d.append(v & _MASK)
+        borrow = v >> 31  # 1 iff the subtraction went negative
+    use_sub = jnp.logical_or(overflow.astype(bool), borrow == 0)
+    return [jnp.where(use_sub, d[i], t[i]) for i in range(n)]
+
+
+def _stack(limbs: list[jax.Array]) -> jax.Array:
+    return jnp.stack(limbs, axis=0)
+
+
+def _unstack(a: jax.Array) -> list[jax.Array]:
+    return [a[i] for i in range(a.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# ring ops
+# ---------------------------------------------------------------------------
+
+
+def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    s, c = _carry_prop([a[i] + b[i] for i in range(spec.n_limbs)])
+    return _stack(_cond_sub_q(spec, s, c))
+
+
+def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    n = spec.n_limbs
+    q = _bc(spec.q_limbs, a.ndim - 1)
+    d = []
+    borrow = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
+    for i in range(n):
+        v = a[i] - b[i] - borrow
+        d.append(v & _MASK)
+        borrow = v >> 31
+    # if borrowed, add q back
+    addq = borrow  # 0 or 1
+    out = []
+    c = jnp.zeros_like(borrow)
+    for i in range(n):
+        v = d[i] + q[i] * addq + c
+        out.append(v & _MASK)
+        c = v >> _SHIFT
+    return _stack(out)
+
+
+def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return sub(spec, zeros(spec, a.shape[1:]), a)
+
+
+def double(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return add(spec, a, a)
+
+
+def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product a*b*R^-1 mod q.  CIOS, unrolled at trace time."""
+    n = spec.n_limbs
+    q = _bc(spec.q_limbs, a.ndim - 1)
+    qinv = jnp.uint32(spec.qinv_neg)
+    z = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=jnp.uint32)
+    t = [z] * (n + 2)
+    bl = [b[j] for j in range(n)]
+    for i in range(n):
+        ai = a[i]
+        c = z
+        for j in range(n):
+            s_ = t[j] + ai * bl[j] + c
+            t[j] = s_ & _MASK
+            c = s_ >> _SHIFT
+        s_ = t[n] + c
+        t[n] = s_ & _MASK
+        t[n + 1] = s_ >> _SHIFT
+        m = (t[0] * qinv) & _MASK
+        s_ = t[0] + m * q[0]
+        c = s_ >> _SHIFT
+        for j in range(1, n):
+            s_ = t[j] + m * q[j] + c
+            t[j - 1] = s_ & _MASK
+            c = s_ >> _SHIFT
+        s_ = t[n] + c
+        t[n - 1] = s_ & _MASK
+        c = s_ >> _SHIFT
+        t[n] = t[n + 1] + c
+    return _stack(_cond_sub_q(spec, t[:n], t[n]))
+
+
+def square(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mul(spec, a, a)
+
+
+def mul_const(spec: FieldSpec, a: jax.Array, k: int) -> jax.Array:
+    """Multiply by a small host constant k (uses repeated addition for tiny k)."""
+    k %= spec.modulus
+    if k == 0:
+        return zeros(spec, a.shape[1:])
+    if k == 1:
+        return a
+    if k == 2:
+        return add(spec, a, a)
+    if k == 3:
+        return add(spec, add(spec, a, a), a)
+    if k == 4:
+        d = add(spec, a, a)
+        return add(spec, d, d)
+    return mul(spec, a, const(spec, k, ()).reshape(spec.n_limbs, *([1] * (a.ndim - 1))))
+
+
+def from_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Montgomery form -> canonical residue (multiply by 1 = Montgomery reduce)."""
+    plain_one = _bc(spec.limbs(1), a.ndim - 1)
+    return mul(spec, a, plain_one)
+
+
+def to_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    r2 = _bc(spec.r2_limbs, a.ndim - 1)
+    return mul(spec, a, r2)
+
+
+# ---------------------------------------------------------------------------
+# predicates / select
+# ---------------------------------------------------------------------------
+
+
+def is_zero(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    acc = a[0]
+    for i in range(1, spec.n_limbs):
+        acc = acc | a[i]
+    return acc == 0
+
+
+def eq(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    acc = a[0] ^ b[0]
+    for i in range(1, spec.n_limbs):
+        acc = acc | (a[i] ^ b[i])
+    return acc == 0
+
+
+def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """mask ? a : b — mask has batch shape (constant-time Select analogue)."""
+    return jnp.where(mask[None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# exponentiation / inversion / sqrt
+# ---------------------------------------------------------------------------
+
+
+def pow_const(spec: FieldSpec, a: jax.Array, e: int) -> jax.Array:
+    """a^e for a fixed host-side integer exponent — the analogue of the
+    reference's fixed-exponent chains (ecc/bn254/fr/element_exp.go).
+
+    Small exponents unroll at trace time; large ones run square-and-multiply
+    under lax.scan over the (static) bit string so the trace holds only two
+    multiplications regardless of exponent size."""
+    if e == 0:
+        return one(spec, a.shape[1:])
+    bits = bin(e)[2:]
+    if len(bits) <= 8:  # unrolled fast path for tiny exponents
+        result = None
+        for bit in bits:
+            if result is not None:
+                result = mul(spec, result, result)
+            if bit == "1":
+                result = a if result is None else mul(spec, result, a)
+        return result
+
+    bit_arr = jnp.asarray(np.array([c == "1" for c in bits[1:]], dtype=np.bool_))
+
+    def body(res, bit):
+        res = mul(spec, res, res)
+        res = select(jnp.broadcast_to(bit, res.shape[1:]), mul(spec, res, a), res)
+        return res, None
+
+    result, _ = jax.lax.scan(body, a, bit_arr)
+    return result
+
+
+def inverse(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Fermat inverse a^(q-2); Inverse(0) = 0 by that formula automatically."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def batch_inverse(spec: FieldSpec, a: jax.Array, axis: int = -1) -> jax.Array:
+    """Montgomery batch inversion along one batch axis via parallel prefix
+    products (jax.lax.associative_scan) — the TPU-parallel form of the
+    reference's BatchInvert (ecc/bn254/fp/element.go:658).
+
+    Zero entries are passed through as 0 (same convention as the reference).
+    Cost: ~2*log2(N)+3 muls per element + one Fermat inverse, vs one Fermat
+    inverse per element.
+    """
+    if axis < 0:
+        axis += a.ndim
+    assert axis >= 1, "axis 0 is the limb axis"
+    zmask = is_zero(spec, a)
+    aa = select(zmask, one(spec, a.shape[1:]), a)
+    # prefix[i] = a0*...*ai  (scan over the chosen batch axis)
+    prefix = jax.lax.associative_scan(
+        lambda x, y: mul(spec, x, y), aa, axis=axis
+    )
+    n_el = a.shape[axis]
+    total = jax.lax.index_in_dim(prefix, n_el - 1, axis=axis, keepdims=True)
+    inv_total = inverse(spec, total)
+    # inv(ai) = inv_prefix[i] * prefix[i-1];  inv_prefix[i] = inv_total * suffix...
+    # use: inv_prefix = reverse(assoc_scan(reverse(shifted)))? simpler:
+    # inv(ai) = prefix[i-1] * inv(prefix[i]) ; inv(prefix[i]) = inv_total * (a_{i+1}*...*a_{n-1})
+    suffix = jax.lax.associative_scan(
+        lambda x, y: mul(spec, x, y), aa, axis=axis, reverse=True
+    )
+    # suffix[i] = ai*...*a_{n-1};  inv(ai) = prefix[i-1] * suffix[i+1] * inv_total
+    shift_p = jnp.roll(prefix, 1, axis=axis)
+    ones_ = one(spec, a.shape[1:])
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape[1:], axis - 1)
+    shift_p = select(idx == 0, ones_, shift_p)
+    shift_s = jnp.roll(suffix, -1, axis=axis)
+    shift_s = select(idx == n_el - 1, ones_, shift_s)
+    out = mul(spec, mul(spec, shift_p, shift_s), inv_total)
+    out = select(zmask, zeros(spec, a.shape[1:]), out)
+    return out
+
+
+def legendre(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Returns int32 batch array in {-1, 0, 1}."""
+    l = pow_const(spec, a, (spec.modulus - 1) // 2)
+    one_ = one(spec, a.shape[1:])
+    out = jnp.where(eq(spec, l, one_), jnp.int32(1), jnp.int32(-1))
+    return jnp.where(is_zero(spec, a), jnp.int32(0), out)
+
+
+def sqrt(spec: FieldSpec, a: jax.Array):
+    """Batched constant-structure Tonelli-Shanks.
+
+    Returns (root, is_qr_mask).  For non-residues root is unspecified.
+    Mirrors Sqrt in the reference (ecc/bn254/fp/element.go:1142) but as a
+    data-independent O(s^2) squaring schedule (TPU-friendly: no early exit).
+    """
+    q, s = spec.modulus, spec.two_adicity
+    odd = (q - 1) >> s
+    if s == 1:
+        root = pow_const(spec, a, (q + 1) // 4)
+        ok = eq(spec, mul(spec, root, root), a)
+        return root, ok
+    # r = a^((odd+1)/2), t = a^odd;  t lies in the 2-Sylow subgroup <c>, c = z^odd
+    w = pow_const(spec, a, (odd - 1) // 2)
+    r = mul(spec, a, w)          # a^((odd+1)/2)
+    t = mul(spec, r, w)          # a^odd
+    # dlog of t base c, bit by bit: c^(2^(s-1)) = -1.
+    # Precompute c^(2^j) host-side.
+    pf_c = pow(spec.nonresidue, odd, q)
+    c_pows = []  # c^(2^j) mod q, j = 0..s-1
+    x = pf_c
+    for _ in range(s):
+        c_pows.append(x)
+        x = (x * x) % q
+    ndim = a.ndim - 1
+    one_ = one(spec, a.shape[1:])
+    c_inv = pow(pf_c, -1, q)
+    # Host-precomputed tables: c^(-2^k) and the half powers c^(-2^(k-1))
+    # (identity at k=0 since d_0 = 0 for quadratic residues).
+    cinv_tab = np.stack([spec.mont_limbs(pow(c_inv, 1 << k, q)) for k in range(s)])
+    chalf_tab = np.stack(
+        [spec.mont_limbs(1)]
+        + [spec.mont_limbs(pow(c_inv, 1 << (k - 1), q)) for k in range(1, s)]
+    )
+    # Invariant: t_k = t * c^(-(d mod 2^k)) = c^((d>>k)*2^k);
+    # bit k of d comes from t_k^(2^(s-1-k)) = (-1)^(d_k).
+    xs = (
+        jnp.arange(s, dtype=jnp.int32),
+        jnp.asarray(cinv_tab),
+        jnp.asarray(chalf_tab),
+    )
+
+    def body(carry, x):
+        t, r = carry
+        k, cinv_l, chalf_l = x
+        u = jax.lax.fori_loop(0, s - 1 - k, lambda _, u: mul(spec, u, u), t)
+        bit = jnp.logical_not(eq(spec, u, one_))  # d_k = 1 iff u == -1
+        cc = cinv_l.reshape(spec.n_limbs, *([1] * ndim))
+        ch = chalf_l.reshape(spec.n_limbs, *([1] * ndim))
+        t = select(bit, mul(spec, t, cc), t)
+        r = select(bit, mul(spec, r, ch), r)
+        return (t, r), None
+
+    (t, r), _ = jax.lax.scan(body, (t, r), xs)
+    root = r
+    ok = eq(spec, mul(spec, root, root), a)
+    ok = jnp.logical_or(ok, is_zero(spec, a))
+    return root, ok
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion (tests, serialization)
+# ---------------------------------------------------------------------------
+
+
+def from_ints(spec: FieldSpec, values, mont: bool = True) -> jax.Array:
+    """numpy/list of python ints -> (n_limbs, *batch) uint32 device array."""
+    arr = np.asarray(values, dtype=object)
+    flat = arr.reshape(-1)
+    out = np.empty((spec.n_limbs, flat.shape[0]), dtype=np.uint32)
+    for i, v in enumerate(flat):
+        v = int(v) % spec.modulus
+        out[:, i] = spec.mont_limbs(v) if mont else spec.limbs(v)
+    return jnp.asarray(out.reshape((spec.n_limbs,) + arr.shape))
+
+
+def to_ints(spec: FieldSpec, a, mont: bool = True) -> np.ndarray:
+    """(n_limbs, *batch) array -> numpy object array of canonical ints."""
+    if mont:
+        a = from_mont(spec, a)
+    host = np.asarray(a)
+    flat = host.reshape(spec.n_limbs, -1)
+    out = np.empty(flat.shape[1], dtype=object)
+    for i in range(flat.shape[1]):
+        out[i] = limbs_to_int(flat[:, i])
+    return out.reshape(host.shape[1:])
