@@ -1,0 +1,217 @@
+"""KZG polynomial commitment (device MSM/eval + host protocol glue).
+
+Mirrors ecc/bn254/kzg/kzg.go: SRS :72, Commit :159, Open :180, Verify :207,
+BatchOpenSinglePoint :246, BatchVerifySinglePoint :385, deriveGamma :531,
+dividePolyByXminusA :567.  TPU design notes:
+
+- Commit/Open quotient MSMs and the quotient/eval computations are batched
+  device kernels (MSM = msm.msm; quotient division uses a reverse prefix sum
+  instead of serial synthetic division);
+- transcript math, G2 side (two tiny points), and the final pairing inputs are
+  host ints — latency-bound scalar work stays off the device
+  (SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import point as gp
+from ..curves.fixed_base import batch_scalar_mul_fixed_base
+from ..curves.spec import CurveSpec
+from ..fields import mont
+from ..fft.domain import powers
+from ..msm.msm import msm
+from ..pairing import g2_from_ints, pairing_check, pairing_ctx
+from ..towers.reference import twist_curve
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    g1: gp.Affine  # device SoA, [G, tauG, tau^2 G, ...]
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    g1: tuple            # host affine generator
+    g2: tuple            # (G2, [tau]G2) host affine E2 pairs
+    curve: str
+
+
+@dataclasses.dataclass
+class SRS:
+    pk: ProvingKey
+    vk: VerifyingKey
+
+
+@dataclasses.dataclass
+class OpeningProof:
+    h: tuple             # host affine quotient commitment
+    claimed_value: int
+
+
+def new_srs(cs: CurveSpec, tw, size: int, tau: int) -> SRS:
+    """Test/bench SRS from a known tau (kzg.go:72 NewSRS(size, bAlpha))."""
+    r = cs.fr.modulus
+    tau %= r
+    taus = []
+    t = 1
+    for _ in range(size):
+        taus.append(t)
+        t = t * tau % r
+    scalars = mont.from_ints(cs.fr, taus, mont=False)
+    pk_jac = batch_scalar_mul_fixed_base(cs, cs.generator, scalars)
+    pk_aff = gp.jac_to_affine(cs, pk_jac)
+    tc = twist_curve(tw.ts)
+    g2 = (tw.ts.g2x, tw.ts.g2y)
+    tau_g2 = tc.mul(tau, g2)
+    return SRS(
+        pk=ProvingKey(g1=pk_aff),
+        vk=VerifyingKey(g1=cs.generator, g2=(g2, tau_g2), curve=cs.name),
+    )
+
+
+def _to_host_point(cs: CurveSpec, j: gp.Jac):
+    aff = gp.jac_to_affine(cs, jax.tree.map(lambda a: a[..., None], j))
+    return gp.affine_to_ints(cs, aff).reshape(-1)[0]
+
+
+def commit(cs: CurveSpec, pk: ProvingKey, poly: jax.Array) -> gp.Jac:
+    """Commit = MSM(pk.G1[:len(p)], p) (kzg.go:159).  poly: mont fr coeffs
+    (n_limbs, N)."""
+    n = poly.shape[1]
+    scalars = mont.from_mont(cs.fr, poly)
+    pts = gp.Affine(pk.g1.x[:, :n], pk.g1.y[:, :n])
+    return msm(cs, pts, scalars)
+
+
+def eval_poly(cs: CurveSpec, poly: jax.Array, a: int) -> int:
+    """p(a) via device powers + inner product (kzg.go:55 eval)."""
+    fr = cs.fr
+    n = poly.shape[1]
+    pw = powers(fr, a % fr.modulus, n)
+    v = mont.inner_product(fr, poly, pw, axis=1)
+    return int(mont.to_ints(fr, v[:, None])[0])
+
+
+def _quotient(cs: CurveSpec, poly: jax.Array, a: int, y: int) -> jax.Array:
+    """(p - y) / (X - a) as mont fr coeffs of length N-1
+    (dividePolyByXminusA, kzg.go:567) — parallel form:
+    q_i = sum_{j>i} p_j a^(j-i-1) = a^(-i-1) * suffix_i+1(p_j a^j)  (a != 0)
+    q_i = p_(i+1)                                                    (a == 0)
+    """
+    fr = cs.fr
+    r = fr.modulus
+    n = poly.shape[1]
+    a %= r
+    if a == 0:
+        return poly[:, 1:]
+    pw = powers(fr, a, n)                       # a^j
+    t = mont.mul(fr, poly, pw)                  # p_j a^j
+    suffix = jax.lax.associative_scan(
+        lambda x, y_: mont.add(fr, x, y_), t, axis=1, reverse=True
+    )                                           # s_i = sum_{j>=i} p_j a^j
+    ainv = pow(a, -1, r)
+    pw_inv = powers(fr, ainv, n)                # a^(-i)
+    ainv_c = mont.const(fr, ainv, (1,))
+    # q_i = s_{i+1} * a^(-i) * a^(-1), i = 0..n-2
+    q = mont.mul(fr, mont.mul(fr, suffix[:, 1:], pw_inv[:, : n - 1]), ainv_c)
+    return q
+
+
+def open_(cs: CurveSpec, pk: ProvingKey, poly: jax.Array, a: int) -> OpeningProof:
+    """Open (kzg.go:180): claimed value + commitment to the quotient."""
+    y = eval_poly(cs, poly, a)
+    q = _quotient(cs, poly, a, y)
+    h = commit(cs, pk, q)
+    return OpeningProof(h=_to_host_point(cs, h), claimed_value=y)
+
+
+def verify(tw, cs: CurveSpec, vk: VerifyingKey, commitment, proof: OpeningProof,
+           a: int) -> bool:
+    """Verify (kzg.go:207): e(H, [tau - a]G2) * e(C - yG1, -G2) == 1.
+    Host point glue + one device pairing check of batch 2."""
+    r = cs.fr.modulus
+    tc = twist_curve(tw.ts)
+    g2, tau_g2 = vk.g2
+    # [tau - a]G2 = tauG2 + (-a)G2
+    g2_shift = tc.add(tau_g2, tc.mul((-a) % r, g2))
+    c_minus_y = cs.ref.add(commitment, cs.ref.mul((-proof.claimed_value) % r,
+                                                  vk.g1))
+    neg_g2 = tc.neg(g2)
+    p_dev = gp.affine_from_ints(cs, [proof.h, c_minus_y])
+    q_dev = g2_from_ints(tw, [g2_shift, neg_g2])
+    return bool(np.asarray(pairing_check(tw, p_dev, q_dev)))
+
+
+def derive_gamma(a: int, digests, claimed_values, modulus: int) -> int:
+    """deriveGamma (kzg.go:531): gamma = H("gamma", a, digests..., values...)."""
+    h = hashlib.sha256()
+    h.update(b"gamma")
+    h.update(a.to_bytes(48, "big"))
+    for d in digests:
+        if d is None:
+            h.update(b"\x00" * 96)
+        else:
+            h.update(int(d[0]).to_bytes(48, "big") + int(d[1]).to_bytes(48, "big"))
+    for v in claimed_values:
+        h.update(int(v).to_bytes(48, "big"))
+    return int.from_bytes(h.digest(), "big") % modulus
+
+
+@dataclasses.dataclass
+class BatchOpeningProof:
+    h: tuple
+    claimed_values: list
+
+
+def batch_open_single_point(cs: CurveSpec, pk: ProvingKey, polys, a: int,
+                            digests) -> BatchOpeningProof:
+    """BatchOpenSinglePoint (kzg.go:246): gamma-fold polys, one quotient."""
+    fr = cs.fr
+    r = fr.modulus
+    ys = [eval_poly(cs, p, a) for p in polys]
+    gamma = derive_gamma(a, digests, ys, r)
+    # folded = sum gamma^i p_i ; folded value = sum gamma^i y_i
+    n = max(p.shape[1] for p in polys)
+    acc = None
+    g = 1
+    for p, y in zip(polys, ys):
+        gc = mont.const(fr, g, (1,))
+        term = mont.mul(fr, p, gc)
+        if p.shape[1] < n:
+            term = jnp.concatenate(
+                [term, mont.zeros(fr, (n - p.shape[1],))], axis=1
+            )
+        acc = term if acc is None else mont.add(fr, acc, term)
+        g = g * gamma % r
+    y_fold = 0
+    g = 1
+    for y in ys:
+        y_fold = (y_fold + g * y) % r
+        g = g * gamma % r
+    q = _quotient(cs, acc, a, y_fold)
+    h = commit(cs, pk, q)
+    return BatchOpeningProof(h=_to_host_point(cs, h), claimed_values=ys)
+
+
+def batch_verify_single_point(tw, cs: CurveSpec, vk: VerifyingKey, digests,
+                              proof: BatchOpeningProof, a: int) -> bool:
+    """BatchVerifySinglePoint (kzg.go:385): fold digests/values with the same
+    gamma, then the standard check."""
+    r = cs.fr.modulus
+    gamma = derive_gamma(a, digests, proof.claimed_values, r)
+    acc = None
+    y_fold = 0
+    g = 1
+    for d, y in zip(digests, proof.claimed_values):
+        acc = cs.ref.add(acc, cs.ref.mul(g, d))
+        y_fold = (y_fold + g * y) % r
+        g = g * gamma % r
+    folded_proof = OpeningProof(h=proof.h, claimed_value=y_fold)
+    return verify(tw, cs, vk, acc, folded_proof, a)

@@ -129,35 +129,36 @@ def double(spec: FieldSpec, a: jax.Array) -> jax.Array:
 
 
 def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
-    """Montgomery product a*b*R^-1 mod q.  CIOS, unrolled at trace time."""
+    """Montgomery product a*b*R^-1 mod q.
+
+    CIOS with a carry-save (redundant) accumulator: per outer limb i the n
+    partial products a_i*b and m*q are computed as single vectorized uint32
+    muls, split lo/hi, and accumulated WITHOUT rippling carries — limbs of the
+    accumulator stay < n*2^18 << 2^32, so one final carry propagation
+    suffices.  This keeps the trace ~n*12 primitives instead of ~2n^2*5 and
+    turns the inner loops into full-width vector ops (the VPU-shaped
+    equivalent of the ADX carry chains in field/asm/element_4w_amd64.s)."""
     n = spec.n_limbs
-    q = _bc(spec.q_limbs, a.ndim - 1)
+    q = _bc(spec.q_limbs, max(a.ndim, b.ndim) - 1)
     qinv = jnp.uint32(spec.qinv_neg)
-    z = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=jnp.uint32)
-    t = [z] * (n + 2)
-    bl = [b[j] for j in range(n)]
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    zero_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+    t = jnp.zeros((n + 1,) + batch, dtype=jnp.uint32)
     for i in range(n):
-        ai = a[i]
-        c = z
-        for j in range(n):
-            s_ = t[j] + ai * bl[j] + c
-            t[j] = s_ & _MASK
-            c = s_ >> _SHIFT
-        s_ = t[n] + c
-        t[n] = s_ & _MASK
-        t[n + 1] = s_ >> _SHIFT
-        m = (t[0] * qinv) & _MASK
-        s_ = t[0] + m * q[0]
-        c = s_ >> _SHIFT
-        for j in range(1, n):
-            s_ = t[j] + m * q[j] + c
-            t[j - 1] = s_ & _MASK
-            c = s_ >> _SHIFT
-        s_ = t[n] + c
-        t[n - 1] = s_ & _MASK
-        c = s_ >> _SHIFT
-        t[n] = t[n + 1] + c
-    return _stack(_cond_sub_q(spec, t[:n], t[n]))
+        p = a[i] * b  # (n, batch) exact 32-bit products of 16-bit limbs
+        m = ((t[0] + (p[0] & _MASK)) * qinv) & _MASK
+        mq = m * q
+        lo = (p & _MASK) + (mq & _MASK)            # (n, batch), < 2^17
+        hi = (p >> _SHIFT) + (mq >> _SHIFT)        # (n, batch), < 2^17
+        t = t + jnp.concatenate([lo, zero_row], 0) \
+              + jnp.concatenate([zero_row, hi], 0)
+        # limb 0 is now ≡ 0 mod 2^16; fold its high bits into limb 1 and shift
+        carry0 = t[0] >> _SHIFT
+        t = jnp.concatenate([(t[1] + carry0)[None], t[2:], zero_row], 0)
+    # final full carry propagation of the redundant limbs
+    out, c = _carry_prop(_unstack(t))
+    # t < 2q < 2^(16n+1): out[n] is the overflow bit, c == 0
+    return _stack(_cond_sub_q(spec, out[:n], out[n]))
 
 
 def square(spec: FieldSpec, a: jax.Array) -> jax.Array:
@@ -362,6 +363,53 @@ def sqrt(spec: FieldSpec, a: jax.Array):
     ok = eq(spec, mul(spec, root, root), a)
     ok = jnp.logical_or(ok, is_zero(spec, a))
     return root, ok
+
+
+# ---------------------------------------------------------------------------
+# vector reductions (the Vector.Sum / InnerProduct analogues, vector.go:29)
+# ---------------------------------------------------------------------------
+
+
+def sum_axis(spec: FieldSpec, a: jax.Array, axis: int = 1) -> jax.Array:
+    """Tree-fold sum along one batch axis (log-depth mont adds)."""
+    if axis < 0:
+        axis += a.ndim
+    assert axis >= 1
+    m = a.shape[axis]
+
+    def take(x, sl):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = sl
+        return x[tuple(idx)]
+
+    while m > 1:
+        h = m // 2
+        merged = add(spec, take(a, slice(0, h)), take(a, slice(h, 2 * h)))
+        if m % 2:
+            merged = jnp.concatenate([merged, take(a, slice(m - 1, m))], axis=axis)
+            m = h + 1
+        else:
+            m = h
+        a = merged
+    return jnp.squeeze(take(a, slice(0, 1)), axis=axis)
+
+
+def inner_product(spec: FieldSpec, a: jax.Array, b: jax.Array, axis: int = 1) -> jax.Array:
+    return sum_axis(spec, mul(spec, a, b), axis=axis)
+
+
+def powers_traced(spec: FieldSpec, x: jax.Array, n: int) -> jax.Array:
+    """[1, x, ..., x^(n-1)] for a traced scalar x of shape (n_limbs,).
+    Doubling construction: log2(n) vectorized muls."""
+    arr = one(spec, (1,))
+    if n == 1:
+        return arr
+    cur = x.reshape(spec.n_limbs, 1)
+    while arr.shape[1] < n:
+        arr = jnp.concatenate([arr, mul(spec, arr, cur)], axis=1)
+        if arr.shape[1] < n:
+            cur = mul(spec, cur, cur)
+    return arr[:, :n]
 
 
 # ---------------------------------------------------------------------------

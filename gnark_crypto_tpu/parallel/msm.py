@@ -1,0 +1,108 @@
+"""Multi-chip MSM: points sharded over the mesh 'data' axis, per-device
+Pippenger bucket accumulation, cross-chip combination of per-window sums.
+
+This is the TPU answer to multiexp.go's goroutine fan-out (SURVEY.md §2.8 P3):
+the big data-parallel work (digit extraction, bucket scatter, tree reduce)
+never leaves the local chip; only n_windows Jacobian points per device cross
+the ICI (an all_gather of a few KB), after which every chip folds the same
+tiny reduction redundantly."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves.point import Affine, Jac, jac_add, jac_double
+from ..curves.spec import CurveSpec
+from ..msm.msm import _bucket_matrix_accumulate, _weighted_bucket_sum, signed_digits
+
+
+def _fold_axis0(cs: CurveSpec, pts: Jac) -> Jac:
+    """Pairwise tree fold of a (n_limbs, m, ...) Jac stack along axis 1."""
+    m = pts.x.shape[1]
+    while m > 1:
+        h = m // 2
+        lhs = Jac(pts.x[:, :h], pts.y[:, :h], pts.z[:, :h])
+        rhs = Jac(pts.x[:, h : 2 * h], pts.y[:, h : 2 * h], pts.z[:, h : 2 * h])
+        merged = jac_add(cs, lhs, rhs)
+        if m % 2:
+            tail = Jac(pts.x[:, -1:], pts.y[:, -1:], pts.z[:, -1:])
+            merged = Jac(
+                jnp.concatenate([merged.x, tail.x], 1),
+                jnp.concatenate([merged.y, tail.y], 1),
+                jnp.concatenate([merged.z, tail.z], 1),
+            )
+            m = h + 1
+        else:
+            m = h
+        pts = merged
+    return Jac(pts.x[:, 0], pts.y[:, 0], pts.z[:, 0])
+
+
+def msm_sharded(
+    cs: CurveSpec,
+    mesh: Mesh,
+    points: Affine,
+    scalars: jax.Array,
+    c: int = 12,
+    cap: int | None = None,
+    axis: str = "data",
+):
+    """MSM with the point/scalar batch sharded along `axis` of `mesh`.
+
+    Returns a replicated Jac result (batch shape ()).  cap is the per-device
+    bucket capacity (see msm.msm for the overflow contract; here the caller
+    sizes it — local shard size bounds it)."""
+    n = points.x.shape[1]
+    n_dev = mesh.shape[axis]
+    assert n % n_dev == 0
+    local_n = n // n_dev
+    n_buckets = 1 << (c - 1)
+    if cap is None:
+        mean = max(1, -(-local_n // n_buckets))
+        cap = 1 << max(1, (2 * mean - 1).bit_length())
+    cap = min(cap, 1 << max(0, (local_n - 1).bit_length()))
+
+    def local_fn(px, py, s):
+        pts = Affine(px, py)
+        digits = signed_digits(cs.fr.bits, c, s)
+        wsums = []
+        over_total = jnp.int32(0)
+        for d in digits:
+            buckets, n_over = _bucket_matrix_accumulate(cs, pts, d, n_buckets, cap)
+            wsums.append(_weighted_bucket_sum(cs, buckets))
+            over_total = over_total + n_over
+        ws = Jac(
+            jnp.stack([w.x for w in wsums], 1),
+            jnp.stack([w.y for w in wsums], 1),
+            jnp.stack([w.z for w in wsums], 1),
+        )  # (n_limbs, n_windows)
+        # gather all devices' window sums; fold locally (identical everywhere)
+        gx = jax.lax.all_gather(ws.x, axis, axis=1)  # (n_limbs, n_dev, n_windows)
+        gy = jax.lax.all_gather(ws.y, axis, axis=1)
+        gz = jax.lax.all_gather(ws.z, axis, axis=1)
+        over_all = jax.lax.psum(over_total, axis)
+        folded = _fold_axis0(cs, Jac(gx, gy, gz))  # (n_limbs, n_windows)
+        # Horner combine over windows
+        n_windows = ws.x.shape[1]
+        acc = Jac(folded.x[:, -1], folded.y[:, -1], folded.z[:, -1])
+        for w in range(n_windows - 2, -1, -1):
+            for _ in range(c):
+                acc = jac_double(cs, acc)
+            acc = jac_add(cs, acc, Jac(folded.x[:, w], folded.y[:, w], folded.z[:, w]))
+        return acc.x, acc.y, acc.z, over_all
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    fn = jax.jit(sharded)
+    x, y, z, over = fn(points.x, points.y, scalars)
+    return Jac(x, y, z), over
