@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..fields import mont
 from ..fields.spec import LIMB_BITS
-from .point import Affine, Jac, jac_add, jac_select, jac_inf
+from .point import Affine, Jac, jac_add, jac_inf
 from .spec import CurveSpec
 
 
@@ -54,7 +54,7 @@ def batch_scalar_mul_fixed_base(
 
     n = scalars.shape[1]
     mask = jnp.uint32((1 << c) - 1)
-    parts = []
+    digs = []
     for w in range(n_windows):
         o = w * c
         i0, sh = o // LIMB_BITS, o % LIMB_BITS
@@ -64,22 +64,26 @@ def batch_scalar_mul_fixed_base(
             if i0 + 1 < fr.n_limbs
             else jnp.zeros_like(lo)
         )
-        d = (((lo | (hi << LIMB_BITS)) >> jnp.uint32(sh)) & mask).astype(jnp.int32)
-        px = tx[:, w, :][:, d]  # (n_limbs, N)
-        py = ty[:, w, :][:, d]
-        parts.append((px, py))
-    # tree-add the n_windows points per scalar (complete adds; (0,0) = inf)
-    jacs = []
-    for px, py in parts:
-        aff = Affine(px, py)
-        inf = jnp.logical_and(mont.is_zero(f, px), mont.is_zero(f, py))
-        z = mont.select(inf, mont.zeros(f, (n,)), mont.one(f, (n,)))
-        jacs.append(Jac(px, py, z))
-    while len(jacs) > 1:
-        nxt = []
-        for i in range(0, len(jacs) - 1, 2):
-            nxt.append(jac_add(cs, jacs[i], jacs[i + 1]))
-        if len(jacs) % 2:
-            nxt.append(jacs[-1])
-        jacs = nxt
-    return jacs[0]
+        digs.append(
+            (((lo | (hi << LIMB_BITS)) >> jnp.uint32(sh)) & mask).astype(jnp.int32)
+        )
+    digits = jnp.stack(digs, axis=0)  # (n_windows, N)
+    # accumulate windows under one scan (one compiled complete-add body)
+    txw = jnp.moveaxis(tx, 1, 0)  # (n_windows, n_limbs, 2^c)
+    tyw = jnp.moveaxis(ty, 1, 0)
+
+    @jax.jit
+    def run(txw, tyw, digits):
+        def body(acc, xs):
+            tx_w, ty_w, d = xs
+            px = tx_w[:, d]  # (n_limbs, N)
+            py = ty_w[:, d]
+            inf = jnp.logical_and(mont.is_zero(f, px), mont.is_zero(f, py))
+            z = mont.select(inf, mont.zeros(f, (n,)), mont.one(f, (n,)))
+            return jac_add(cs, acc, Jac(px, py, z)), None
+
+        acc0 = jac_inf(cs, (n,))
+        acc, _ = jax.lax.scan(body, acc0, (txw, tyw, digits))
+        return acc
+
+    return run(txw, tyw, digits)

@@ -1,0 +1,136 @@
+"""Hash-to-curve, SVDW method (RFC 9380 §6.6.1) — constant-time batched map.
+
+Mirrors ecc/bn254/hash_to_g1.go:15-90 (MapToCurve1 with Legendre + Select,
+g1Sgn0 :92, HashToG1/EncodeToG1 at the bottom).  SVDW constants are *derived*
+from Z at build time (not hardcoded) and can be checked against the reference
+configs (internal/generator/config/bn254.go HashE1 c1..c4)."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+
+from ..fields import mont
+from ..fields.reference import PF
+from ..hashes.hash_to_field import hash_to_field
+from .point import Affine, Jac, jac_add, jac_from_affine, jac_to_affine
+from .spec import CurveSpec, bn254
+
+
+@dataclasses.dataclass(frozen=True)
+class SvdwConstants:
+    z: int
+    c1: int  # g(Z)
+    c2: int  # -Z/2
+    c3: int  # sqrt(-g(Z) * (3Z^2 + 4A)), sgn0 == 0
+    c4: int  # -4 g(Z) / (3Z^2 + 4A)
+
+
+def derive_svdw(cs: CurveSpec) -> SvdwConstants:
+    p = cs.fp.modulus
+    pf = PF(p)
+
+    def g(x):
+        return (pow(x, 3, p) + cs.a * x + cs.b) % p
+
+    z = 1
+    while True:
+        gz = g(z)
+        t = (3 * z * z + 4 * cs.a) % p
+        if gz != 0 and t != 0 and pf.legendre((-gz * t) % p) == 1:
+            # additional RFC criteria (g(z) != 0, g(-z/2)... ) — the smallest
+            # working z matches the reference configs for these curves
+            if pf.legendre(gz) == 1 or pf.legendre(g((-z * pf.inv(2)) % p)) == 1:
+                break
+        z += 1
+    c1 = g(z)
+    c2 = (-z * pf.inv(2)) % p
+    c3 = pf.sqrt((-c1 * (3 * z * z + 4 * cs.a)) % p)
+    if c3 % 2 == 1:  # sgn0(c3) must be 0
+        c3 = p - c3
+    c4 = (-4 * c1 * pf.inv((3 * z * z + 4 * cs.a) % p)) % p
+    return SvdwConstants(z=z, c1=c1, c2=c2, c3=c3, c4=c4)
+
+
+@functools.cache
+def svdw_constants(curve_name: str) -> SvdwConstants:
+    from . import spec as cspec
+
+    return derive_svdw(getattr(cspec, curve_name)())
+
+
+def _sgn0(spec, x) -> jnp.ndarray:
+    return x[0] & 1
+
+
+def map_to_curve_svdw(cs: CurveSpec, u: jnp.ndarray) -> Affine:
+    """Batched SVDW map F_p -> E(F_p) (MapToCurve1, hash_to_g1.go:15)."""
+    f = cs.fp
+    k = svdw_constants(cs.name)
+    batch = u.shape[1:]
+
+    def C(v):
+        return mont.const(f, v, batch)
+
+    tv1 = mont.mul(f, mont.square(f, u), C(k.c1))
+    tv2 = mont.add(f, mont.one(f, batch), tv1)
+    tv1 = mont.sub(f, mont.one(f, batch), tv1)
+    tv3 = mont.mul(f, tv1, tv2)
+    tv3 = mont.inverse(f, tv3)  # inv0: 0 -> 0
+    tv4 = mont.mul(f, mont.mul(f, u, tv1), mont.mul(f, tv3, C(k.c3)))
+    x1 = mont.sub(f, C(k.c2), tv4)
+    x2 = mont.add(f, C(k.c2), tv4)
+    tv5 = mont.square(f, mont.mul(f, mont.square(f, tv2), tv3))
+    x3 = mont.add(f, C(k.z), mont.mul(f, C(k.c4), tv5))
+
+    def g(x):
+        rhs = mont.add(f, mont.mul(f, mont.square(f, x), x), C(cs.b))
+        if cs.a != 0:
+            rhs = mont.add(f, rhs, mont.mul_const(f, x, cs.a))
+        return rhs
+
+    g1 = g(x1)
+    g2 = g(x2)
+    g3 = g(x3)
+    e1 = mont.legendre(f, g1) == 1
+    e2 = mont.legendre(f, g2) == 1
+    x = mont.select(e1, x1, mont.select(e2, x2, x3))
+    gx = mont.select(e1, g1, mont.select(e2, g2, g3))
+    y, _ = mont.sqrt(f, gx)
+    # fix sign: sgn0(u) == sgn0(y)
+    flip = _sgn0(f, mont.from_mont(f, u)) != _sgn0(f, mont.from_mont(f, y))
+    y = mont.select(flip, mont.neg(f, y), y)
+    return Affine(x, y)
+
+
+def hash_to_g1(cs: CurveSpec, msg: bytes, dst: bytes) -> tuple:
+    """HashToG1 (RFC 9380 hash_to_curve): 2 field elements -> 2 maps -> add
+    -> clear cofactor.  Returns host affine ints."""
+    us = hash_to_field(msg, dst, cs.fp.modulus, 2)
+    u = mont.from_ints(cs.fp, us)
+    q = map_to_curve_svdw(cs, u)
+    q0 = Affine(q.x[:, :1], q.y[:, :1])
+    q1 = Affine(q.x[:, 1:], q.y[:, 1:])
+    r = jac_add(cs, jac_from_affine(cs, q0), jac_from_affine(cs, q1))
+    aff = jac_to_affine(cs, r)
+    from .point import affine_to_ints
+
+    P = affine_to_ints(cs, aff)[0]
+    if cs.cofactor != 1:
+        P = cs.ref.mul(cs.cofactor, P)  # clear cofactor (host; fine for G1)
+    return P
+
+
+def encode_to_g1(cs: CurveSpec, msg: bytes, dst: bytes) -> tuple:
+    """EncodeToG1: single map (non-uniform encoding)."""
+    us = hash_to_field(msg, dst, cs.fp.modulus, 1)
+    u = mont.from_ints(cs.fp, us)
+    q = map_to_curve_svdw(cs, u)
+    from .point import affine_to_ints
+
+    P = affine_to_ints(cs, q)[0]
+    if cs.cofactor != 1:
+        P = cs.ref.mul(cs.cofactor, P)
+    return P

@@ -57,29 +57,43 @@ def one(spec: FieldSpec, batch_shape=()) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _carry_prop(limbs: list[jax.Array]):
-    """Propagate carries; returns (norm_limbs < 2^16 each, carry_out)."""
-    out = []
-    c = None
-    for x in limbs:
-        v = x if c is None else x + c
-        out.append(v & _MASK)
-        c = v >> _SHIFT
+def _carry_scan(t: jax.Array):
+    """Carry-propagate a (k, *batch) redundant-limb array via lax.scan.
+    Returns (norm (k, *batch) limbs < 2^16, carry_out)."""
+    c0 = jnp.zeros(t.shape[1:], dtype=jnp.uint32)
+
+    def body(c, ti):
+        v = ti + c
+        return v >> _SHIFT, v & _MASK
+
+    c, out = jax.lax.scan(body, c0, t)
     return out, c
 
 
-def _cond_sub_q(spec: FieldSpec, t: list[jax.Array], overflow: jax.Array):
-    """Return t - q if (overflow or t >= q) else t.  t limbs are < 2^16."""
-    n = spec.n_limbs
-    q = _bc(spec.q_limbs, t[0].ndim)
-    d = []
-    borrow = jnp.zeros_like(t[0])
-    for i in range(n):
-        v = t[i] - q[i] - borrow  # wraps mod 2^32
-        d.append(v & _MASK)
-        borrow = v >> 31  # 1 iff the subtraction went negative
+def _carry_prop(limbs: list[jax.Array]):
+    """List-based wrapper over _carry_scan (kept for small unrolled users)."""
+    out, c = _carry_scan(jnp.stack(limbs, 0))
+    return [out[i] for i in range(out.shape[0])], c
+
+
+def _cond_sub_q_arr(spec: FieldSpec, t: jax.Array, overflow: jax.Array):
+    """Return t - q if (overflow or t >= q) else t; t: (n, *batch) < 2^16."""
+    q = jnp.asarray(spec.q_limbs, dtype=jnp.uint32)
+    b0 = jnp.zeros(t.shape[1:], dtype=jnp.uint32)
+
+    def body(borrow, args):
+        ti, qi = args
+        v = ti - qi - borrow  # wraps mod 2^32
+        return v >> 31, v & _MASK
+
+    borrow, d = jax.lax.scan(body, b0, (t, q))
     use_sub = jnp.logical_or(overflow.astype(bool), borrow == 0)
-    return [jnp.where(use_sub, d[i], t[i]) for i in range(n)]
+    return jnp.where(use_sub[None], d, t)
+
+
+def _cond_sub_q(spec: FieldSpec, t: list[jax.Array], overflow: jax.Array):
+    out = _cond_sub_q_arr(spec, jnp.stack(t, 0), overflow)
+    return [out[i] for i in range(out.shape[0])]
 
 
 def _stack(limbs: list[jax.Array]) -> jax.Array:
@@ -96,28 +110,31 @@ def _unstack(a: jax.Array) -> list[jax.Array]:
 
 
 def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
-    s, c = _carry_prop([a[i] + b[i] for i in range(spec.n_limbs)])
-    return _stack(_cond_sub_q(spec, s, c))
+    s, c = _carry_scan(a + b)
+    return _cond_sub_q_arr(spec, s, c)
 
 
 def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
-    n = spec.n_limbs
-    q = _bc(spec.q_limbs, a.ndim - 1)
-    d = []
-    borrow = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
-    for i in range(n):
-        v = a[i] - b[i] - borrow
-        d.append(v & _MASK)
-        borrow = v >> 31
-    # if borrowed, add q back
-    addq = borrow  # 0 or 1
-    out = []
-    c = jnp.zeros_like(borrow)
-    for i in range(n):
-        v = d[i] + q[i] * addq + c
-        out.append(v & _MASK)
-        c = v >> _SHIFT
-    return _stack(out)
+    q = jnp.asarray(spec.q_limbs, dtype=jnp.uint32)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    b0 = jnp.zeros(batch, dtype=jnp.uint32)
+
+    def sub_body(borrow, args):
+        ai, bi = args
+        v = ai - bi - borrow
+        return v >> 31, v & _MASK
+
+    ab = jnp.broadcast_to(a, (spec.n_limbs,) + batch)
+    bb = jnp.broadcast_to(b, (spec.n_limbs,) + batch)
+    borrow, d = jax.lax.scan(sub_body, b0, (ab, bb))
+
+    def fix_body(c, args):
+        di, qi = args
+        v = di + qi * borrow + c
+        return v >> _SHIFT, v & _MASK
+
+    _, out = jax.lax.scan(fix_body, jnp.zeros_like(borrow), (d, q))
+    return out
 
 
 def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
@@ -143,22 +160,28 @@ def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     qinv = jnp.uint32(spec.qinv_neg)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     zero_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
-    t = jnp.zeros((n + 1,) + batch, dtype=jnp.uint32)
-    for i in range(n):
-        p = a[i] * b  # (n, batch) exact 32-bit products of 16-bit limbs
+    bb = jnp.broadcast_to(b, (n,) + batch)
+    t0 = jnp.zeros((n + 1,) + batch, dtype=jnp.uint32)
+
+    def body(t, ai):
+        p = ai[None] * bb  # (n, batch) exact 32-bit products of 16-bit limbs
         m = ((t[0] + (p[0] & _MASK)) * qinv) & _MASK
-        mq = m * q
+        mq = m[None] * q
         lo = (p & _MASK) + (mq & _MASK)            # (n, batch), < 2^17
         hi = (p >> _SHIFT) + (mq >> _SHIFT)        # (n, batch), < 2^17
         t = t + jnp.concatenate([lo, zero_row], 0) \
               + jnp.concatenate([zero_row, hi], 0)
-        # limb 0 is now ≡ 0 mod 2^16; fold its high bits into limb 1 and shift
+        # limb 0 is ≡ 0 mod 2^16 now; fold its high bits into limb 1 and shift
         carry0 = t[0] >> _SHIFT
         t = jnp.concatenate([(t[1] + carry0)[None], t[2:], zero_row], 0)
-    # final full carry propagation of the redundant limbs
-    out, c = _carry_prop(_unstack(t))
-    # t < 2q < 2^(16n+1): out[n] is the overflow bit, c == 0
-    return _stack(_cond_sub_q(spec, out[:n], out[n]))
+        return t, None
+
+    ab = jnp.broadcast_to(a, (n,) + batch)
+    t, _ = jax.lax.scan(body, t0, ab)
+    # final full carry propagation of the redundant limbs;
+    # t < 2q < 2^(16n+1): out[n] is the overflow bit
+    out, _ = _carry_scan(t)
+    return _cond_sub_q_arr(spec, out[:n], out[n])
 
 
 def square(spec: FieldSpec, a: jax.Array) -> jax.Array:

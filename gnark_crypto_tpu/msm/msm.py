@@ -7,18 +7,20 @@ signed-digit Pippenger; the *schedule* is redesigned for a SIMD machine
 
 - signed c-bit digits extracted vectorized (borrow-carry over windows);
 - bucket accumulation is NOT a conflict-queue scatter loop (multiexp_affine.go)
-  but a scatter into a padded (n_buckets, K) point matrix by per-bucket rank
+  but a scatter into a padded (n_buckets, cap) point matrix by per-bucket rank
   (rank = position - bucket_start, from a cheap int32 argsort) followed by a
-  log2(K) pairwise tree reduction with complete Jacobian adds;
-- the Σ b·Bucket_b weighted reduction uses a reverse associative scan
-  (suffix sums) + pairwise tree fold, replacing the serial running-sum of
-  msmReduceChunkG1Affine (multiexp.go:302);
-- the final Σ_w 2^{cw} S_w combination is a short sequential tail inside jit.
+  log2(cap) pairwise tree reduction with complete Jacobian adds;
+- windows are processed under ONE lax.scan (uniform computation, one compiled
+  body) instead of the reference's chunk goroutines;
+- the Σ b·Bucket_b reduction is the classic two-accumulator running sum
+  (msmReduceChunkG1Affine, multiexp.go:302) as a scan over buckets, batched
+  across all windows at once;
+- the final Σ_w 2^{cw} S_w Horner combination is a scan over windows.
 
-Overflow soundness: bucket capacity K is static; points whose rank >= K are
-diverted to the (ignored) bucket-0 row and *counted*.  `msm()` re-runs with
-doubled K if the count is nonzero, so results are exact for any input, while
-the common case stays a single fully-jitted pass.
+Overflow soundness: bucket capacity `cap` is static; points whose rank >= cap
+are diverted to the (ignored) bucket-0 row and *counted*.  `msm()` re-runs
+with doubled cap if the count is nonzero, so results are exact for any input,
+while the common case stays a single fully-jitted pass.
 """
 
 from __future__ import annotations
@@ -29,14 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.point import (
-    Affine,
-    Jac,
-    jac_add,
-    jac_double,
-    jac_inf,
-    jac_select,
-)
+from ..curves.point import Affine, Jac, jac_add, jac_double, jac_inf
 from ..curves.spec import CurveSpec
 from ..fields import mont
 from ..fields.spec import LIMB_BITS
@@ -53,10 +48,10 @@ def default_window(n: int, bits: int) -> int:
     return best_c
 
 
-def signed_digits(fr_bits: int, c: int, scalars: jax.Array) -> list[jax.Array]:
+def signed_digits(fr_bits: int, c: int, scalars: jax.Array) -> jax.Array:
     """Signed c-bit windows of plain (non-Montgomery) scalar limb arrays.
 
-    Returns n_windows int32 arrays in [-2^(c-1), 2^(c-1)] (partitionScalars,
+    Returns (n_windows, N) int32 in [-2^(c-1), 2^(c-1)] (partitionScalars,
     multiexp.go:704-856, vectorized)."""
     assert 4 <= c <= 16
     n_limbs = scalars.shape[0]
@@ -77,15 +72,15 @@ def signed_digits(fr_bits: int, c: int, scalars: jax.Array) -> list[jax.Array]:
         borrow = d > half
         digits.append(jnp.where(borrow, d - full, d))
         carry = borrow.astype(jnp.int32)
-    return digits
+    return jnp.stack(digits, axis=0)
 
 
 def _bucket_matrix_accumulate(
     cs: CurveSpec, points: Affine, digit: jax.Array, n_buckets: int, cap: int
 ):
     """Scatter points into a ((n_buckets+1) * cap) padded matrix by
-    (|digit|, rank) and tree-reduce columns.  Returns (Jac buckets[1..nb],
-    overflow_count)."""
+    (|digit|, rank) and tree-reduce the cap axis.  Returns (Jac buckets with
+    batch (n_buckets,), overflow_count)."""
     f = cs.fp
     n = digit.shape[0]
     absd = jnp.abs(digit)
@@ -100,9 +95,12 @@ def _bucket_matrix_accumulate(
 
     overflow = jnp.logical_and(rank >= cap, absd > 0)
     n_over = jnp.sum(overflow.astype(jnp.int32))
-    # divert bucket-0 and overflow entries into the (ignored) bucket-0 row
-    eff_b = jnp.where(overflow, 0, absd)
-    eff_r = jnp.where(overflow, 0, rank)
+    # divert bucket-0 and overflow entries into slot 0 of the (ignored)
+    # bucket-0 row; bucket-0 ranks are NOT capped by `cap`, so they must be
+    # zeroed or they would spill into real bucket rows
+    dump = jnp.logical_or(overflow, absd == 0)
+    eff_b = jnp.where(dump, 0, absd)
+    eff_r = jnp.where(dump, 0, rank)
     slot = eff_b * cap + eff_r  # unique per (bucket, rank) except row 0
 
     total = (n_buckets + 1) * cap
@@ -117,7 +115,7 @@ def _bucket_matrix_accumulate(
         ym.reshape(f.n_limbs, n_buckets + 1, cap),
         zm.reshape(f.n_limbs, n_buckets + 1, cap),
     )
-    # pairwise tree reduction along the capacity axis
+    # pairwise tree reduction along the capacity axis (log2(cap) adds)
     m = cap
     while m > 1:
         m //= 2
@@ -128,53 +126,73 @@ def _bucket_matrix_accumulate(
     return buckets, n_over
 
 
-def _weighted_bucket_sum(cs: CurveSpec, buckets: Jac) -> Jac:
-    """Σ_{b=1..nb} b * B_b = Σ_b suffix_b via reverse associative scan +
-    pairwise fold (parallel form of multiexp.go:302 running sum)."""
-    suffix = jax.lax.associative_scan(
-        lambda u, v: jac_add(cs, u, v), buckets, axis=1, reverse=True
+def _all_window_buckets(cs, points, digits, n_buckets, cap):
+    """lax.scan over windows -> stacked buckets (W, n_limbs, nb) x 3."""
+
+    def body(over_acc, d):
+        buckets, n_over = _bucket_matrix_accumulate(cs, points, d, n_buckets, cap)
+        return over_acc + n_over, (buckets.x, buckets.y, buckets.z)
+
+    over, (bx, by, bz) = jax.lax.scan(body, jnp.int32(0), digits)
+    return over, Jac(
+        jnp.moveaxis(bx, 0, 1), jnp.moveaxis(by, 0, 1), jnp.moveaxis(bz, 0, 1)
+    )  # (n_limbs, W, nb)
+
+
+def _weighted_bucket_sums(cs: CurveSpec, buckets: Jac) -> Jac:
+    """Σ_{b=1..nb} b * B_b for every window at once: running-sum scan from the
+    top bucket (two accumulators, batched over the window axis)."""
+    n_windows = buckets.x.shape[1]
+    rev = jax.tree.map(lambda a: jnp.flip(jnp.moveaxis(a, 2, 0), axis=0), buckets)
+    init = (jac_inf(cs, (n_windows,)), jac_inf(cs, (n_windows,)))
+
+    def body(carry, b):
+        running, total = carry
+        bx, by, bz = b
+        running = jac_add(cs, running, Jac(bx, by, bz))
+        total = jac_add(cs, total, running)
+        return (running, total), None
+
+    (_, total), _ = jax.lax.scan(
+        body, init, (rev.x, rev.y, rev.z)
     )
-    nb = suffix.x.shape[1]
-    acc = suffix
-    m = nb
-    while m > 1:
-        h = m // 2
-        lhs = Jac(acc.x[:, :h], acc.y[:, :h], acc.z[:, :h])
-        rhs = Jac(acc.x[:, h:2 * h], acc.y[:, h:2 * h], acc.z[:, h:2 * h])
-        merged = jac_add(cs, lhs, rhs)
-        if m % 2:  # odd leftover element
-            last = Jac(acc.x[:, -1:], acc.y[:, -1:], acc.z[:, -1:])
-            first = Jac(merged.x[:, :1], merged.y[:, :1], merged.z[:, :1])
-            folded = jac_add(cs, first, last)
-            merged = Jac(
-                jnp.concatenate([folded.x, merged.x[:, 1:]], 1),
-                jnp.concatenate([folded.y, merged.y[:, 1:]], 1),
-                jnp.concatenate([folded.z, merged.z[:, 1:]], 1),
-            )
-        acc = merged
-        m = h
-    return Jac(acc.x[:, 0], acc.y[:, 0], acc.z[:, 0])
+    return total  # (n_limbs, W)
+
+
+def _horner_windows(cs: CurveSpec, wsums: Jac, c: int) -> Jac:
+    """Σ_w 2^{cw} S_w via Horner from the top window (scan)."""
+    n_windows = wsums.x.shape[1]
+    rev = jax.tree.map(lambda a: jnp.flip(jnp.moveaxis(a, 1, 0), axis=0), wsums)
+    top = Jac(rev.x[0], rev.y[0], rev.z[0])
+
+    def body(acc, w):
+        wx, wy, wz = w
+        for _ in range(c):
+            acc = jac_double(cs, acc)
+        acc = jac_add(cs, acc, Jac(wx, wy, wz))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, top, (rev.x[1:], rev.y[1:], rev.z[1:]))
+    return acc
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm_jit(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int, cap: int):
     """One fully-jitted MSM pass.  Returns (Jac result, total_overflow)."""
-    fr_bits = cs.fr.bits
-    digits = signed_digits(fr_bits, c, scalars)
+    digits = signed_digits(cs.fr.bits, c, scalars)
     n_buckets = 1 << (c - 1)
-    window_sums = []
-    n_over_total = jnp.int32(0)
-    for d in digits:
-        buckets, n_over = _bucket_matrix_accumulate(cs, points, d, n_buckets, cap)
-        window_sums.append(_weighted_bucket_sum(cs, buckets))
-        n_over_total = n_over_total + n_over
-    # result = Σ_w 2^{cw} S_w, Horner from the top window
-    acc = window_sums[-1]
-    for w in range(len(window_sums) - 2, -1, -1):
-        for _ in range(c):
-            acc = jac_double(cs, acc)
-        acc = jac_add(cs, acc, window_sums[w])
-    return acc, n_over_total
+    over, buckets = _all_window_buckets(cs, points, digits, n_buckets, cap)
+    wsums = _weighted_bucket_sums(cs, buckets)
+    return _horner_windows(cs, wsums, c), over
+
+
+def pick_cap(n: int, c: int) -> int:
+    """Bucket capacity: >= 2x the mean load (overflow then needs a heavy
+    Poisson tail) and >= 16 (so sparse-bucket regimes rarely retry)."""
+    n_buckets = 1 << (c - 1)
+    mean = max(1, -(-n // n_buckets))
+    cap = 1 << max(4, (2 * mean - 1).bit_length())
+    return min(cap, _ceil_pow2(n))
 
 
 def msm(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int | None = None) -> Jac:
@@ -184,16 +202,13 @@ def msm(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int | None = None)
     n = points.x.shape[1]
     if c is None:
         c = default_window(n, cs.fr.bits)
-    n_buckets = 1 << (c - 1)
-    mean = max(1, -(-n // n_buckets))
-    cap = 1 << max(1, (2 * mean - 1).bit_length())  # >= 2x mean load, pow2
+    cap = pick_cap(n, c)
     while True:
-        result, n_over = msm_jit(cs, points, scalars, c, min(cap, _ceil_pow2(n)))
+        result, n_over = msm_jit(cs, points, scalars, c, cap)
         if int(n_over) == 0:
             return result
-        cap *= 2
-        if cap > 2 * n:
-            # degenerate: everything in one bucket; cap at n (always sufficient)
+        cap = min(cap * 2, _ceil_pow2(n))
+        if cap >= _ceil_pow2(n):
             result, n_over = msm_jit(cs, points, scalars, c, _ceil_pow2(n))
             assert int(n_over) == 0
             return result

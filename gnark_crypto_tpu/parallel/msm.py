@@ -18,7 +18,12 @@ from jax.experimental.shard_map import shard_map
 
 from ..curves.point import Affine, Jac, jac_add, jac_double
 from ..curves.spec import CurveSpec
-from ..msm.msm import _bucket_matrix_accumulate, _weighted_bucket_sum, signed_digits
+from ..msm.msm import (
+    _all_window_buckets,
+    _horner_windows,
+    _weighted_bucket_sums,
+    signed_digits,
+)
 
 
 def _fold_axis0(cs: CurveSpec, pts: Jac) -> Jac:
@@ -70,30 +75,15 @@ def msm_sharded(
     def local_fn(px, py, s):
         pts = Affine(px, py)
         digits = signed_digits(cs.fr.bits, c, s)
-        wsums = []
-        over_total = jnp.int32(0)
-        for d in digits:
-            buckets, n_over = _bucket_matrix_accumulate(cs, pts, d, n_buckets, cap)
-            wsums.append(_weighted_bucket_sum(cs, buckets))
-            over_total = over_total + n_over
-        ws = Jac(
-            jnp.stack([w.x for w in wsums], 1),
-            jnp.stack([w.y for w in wsums], 1),
-            jnp.stack([w.z for w in wsums], 1),
-        )  # (n_limbs, n_windows)
+        over_total, buckets = _all_window_buckets(cs, pts, digits, n_buckets, cap)
+        ws = _weighted_bucket_sums(cs, buckets)  # (n_limbs, n_windows)
         # gather all devices' window sums; fold locally (identical everywhere)
         gx = jax.lax.all_gather(ws.x, axis, axis=1)  # (n_limbs, n_dev, n_windows)
         gy = jax.lax.all_gather(ws.y, axis, axis=1)
         gz = jax.lax.all_gather(ws.z, axis, axis=1)
         over_all = jax.lax.psum(over_total, axis)
         folded = _fold_axis0(cs, Jac(gx, gy, gz))  # (n_limbs, n_windows)
-        # Horner combine over windows
-        n_windows = ws.x.shape[1]
-        acc = Jac(folded.x[:, -1], folded.y[:, -1], folded.z[:, -1])
-        for w in range(n_windows - 2, -1, -1):
-            for _ in range(c):
-                acc = jac_double(cs, acc)
-            acc = jac_add(cs, acc, Jac(folded.x[:, w], folded.y[:, w], folded.z[:, w]))
+        acc = _horner_windows(cs, folded, c)
         return acc.x, acc.y, acc.z, over_all
 
     sharded = shard_map(

@@ -1,0 +1,142 @@
+"""IOP polynomial layer: polynomials with tracked (Basis, Layout) form.
+
+Mirrors fr/iop/polynomial.go:20-60 (Form = Basis x Layout) and the conversion
+methods :265-392 (ToRegular/ToBitReverse/ToLagrange/ToCanonical/
+ToLagrangeCoset), plus expression evaluation (expressions.go:16) and the
+X^n - 1 quotient on a coset (quotient.go:21)."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+
+from ..fft import DIF, DIT, Domain, bit_reverse, fft, fft_inverse
+from ..fields import mont
+from ..fields.spec import FieldSpec
+
+
+class Basis(enum.Enum):
+    CANONICAL = 0
+    LAGRANGE = 1
+    LAGRANGE_COSET = 2
+
+
+class Layout(enum.Enum):
+    REGULAR = 0
+    BIT_REVERSE = 1
+
+
+@dataclasses.dataclass
+class Polynomial:
+    """coeffs: (n_limbs, N) mont fr array + form tracking."""
+
+    coeffs: jax.Array
+    basis: Basis
+    layout: Layout
+    spec: FieldSpec
+    shift: int = 0  # Shift view (polynomial.go:82)
+
+    @property
+    def size(self) -> int:
+        return self.coeffs.shape[1]
+
+    def clone(self) -> "Polynomial":
+        return dataclasses.replace(self)
+
+    # ---- layout conversions ----
+
+    def to_regular(self, domain: Domain) -> "Polynomial":
+        if self.layout is Layout.REGULAR:
+            return self
+        return dataclasses.replace(
+            self, coeffs=bit_reverse(self.coeffs, axis=1), layout=Layout.REGULAR
+        )
+
+    def to_bit_reverse(self, domain: Domain) -> "Polynomial":
+        if self.layout is Layout.BIT_REVERSE:
+            return self
+        return dataclasses.replace(
+            self, coeffs=bit_reverse(self.coeffs, axis=1), layout=Layout.BIT_REVERSE
+        )
+
+    # ---- basis conversions (polynomial.go:265-392 semantics) ----
+
+    def to_lagrange(self, domain: Domain) -> "Polynomial":
+        p = self
+        if p.basis is Basis.LAGRANGE:
+            return p
+        assert p.basis is Basis.CANONICAL, "coset -> lagrange goes via canonical"
+        if p.layout is Layout.REGULAR:
+            c = fft(domain, p.coeffs, DIF)
+            return dataclasses.replace(p, coeffs=c, basis=Basis.LAGRANGE,
+                                       layout=Layout.BIT_REVERSE)
+        c = fft(domain, p.coeffs, DIT)
+        return dataclasses.replace(p, coeffs=c, basis=Basis.LAGRANGE,
+                                   layout=Layout.REGULAR)
+
+    def to_canonical(self, domain: Domain) -> "Polynomial":
+        p = self
+        if p.basis is Basis.CANONICAL:
+            return p
+        coset = p.basis is Basis.LAGRANGE_COSET
+        if p.layout is Layout.REGULAR:
+            c = fft_inverse(domain, p.coeffs, DIF, coset=coset)
+            return dataclasses.replace(p, coeffs=c, basis=Basis.CANONICAL,
+                                       layout=Layout.BIT_REVERSE)
+        c = fft_inverse(domain, p.coeffs, DIT, coset=coset)
+        return dataclasses.replace(p, coeffs=c, basis=Basis.CANONICAL,
+                                   layout=Layout.REGULAR)
+
+    def to_lagrange_coset(self, domain: Domain) -> "Polynomial":
+        p = self.to_canonical(domain) if self.basis is not Basis.CANONICAL else self
+        if p.basis is Basis.LAGRANGE_COSET:
+            return p
+        if p.layout is Layout.REGULAR:
+            c = fft(domain, p.coeffs, DIF, coset=True)
+            return dataclasses.replace(p, coeffs=c, basis=Basis.LAGRANGE_COSET,
+                                       layout=Layout.BIT_REVERSE)
+        c = fft(domain, p.coeffs, DIT, coset=True)
+        return dataclasses.replace(p, coeffs=c, basis=Basis.LAGRANGE_COSET,
+                                   layout=Layout.REGULAR)
+
+    def evaluate(self, x: int) -> int:
+        """Single-point evaluation (canonical, regular)."""
+        assert self.basis is Basis.CANONICAL and self.layout is Layout.REGULAR
+        from ..fft.domain import powers
+
+        pw = powers(self.spec, x, self.size)
+        v = mont.inner_product(self.spec, self.coeffs, pw, axis=1)
+        return int(mont.to_ints(self.spec, v[:, None])[0])
+
+
+def evaluate_expression(spec: FieldSpec, fn, *polys: Polynomial) -> jax.Array:
+    """Pointwise combination of same-form polynomials
+    (iop Evaluate, expressions.go:16): fn takes the coefficient arrays."""
+    forms = {(p.basis, p.layout) for p in polys}
+    assert len(forms) == 1, "polynomials must share a form"
+    return fn(*[p.coeffs for p in polys])
+
+
+def divide_by_x_minus_one(spec: FieldSpec, num_coset: jax.Array,
+                          small_domain: Domain, big_domain: Domain) -> jax.Array:
+    """h / (X^n - 1) evaluated on the big coset (quotient.go:21): multiply by
+    the precomputed inverse of the vanishing polynomial on the coset."""
+    n_small = small_domain.cardinality
+    n_big = big_domain.cardinality
+    g = big_domain.fr_multiplicative_gen
+    q = spec.modulus
+    w = big_domain.generator
+    # vanishing values: (g w^i)^n - 1, i = 0..n_big-1; w^(n_small * i) cycles
+    from ..fft.domain import powers
+
+    wn = pow(w, n_small, q)
+    gn = pow(g, n_small, q)
+    vals = powers(spec, wn, n_big)  # w^(n i)
+    gn_c = mont.const(spec, gn, (1,))
+    van = mont.mul(spec, vals, gn_c)
+    one = mont.one(spec, (n_big,))
+    van = mont.sub(spec, van, one)
+    van_inv = mont.batch_inverse(spec, van, axis=1)
+    return mont.mul(spec, num_coset, van_inv)
