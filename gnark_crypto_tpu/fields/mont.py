@@ -36,6 +36,18 @@ def _bc(c: np.ndarray, ndim: int):
     return jnp.asarray(c, dtype=jnp.uint32).reshape(c.shape + (1,) * ndim)
 
 
+def _align(a: jax.Array, b: jax.Array):
+    """Pad trailing singleton batch dims so (n_limbs, *batch_a) and
+    (n_limbs, *batch_b) broadcast limb-wise (NOT by trailing-axis alignment —
+    a (n,) element must act as a batch-() constant against (n, B))."""
+    nd = max(a.ndim, b.ndim)
+    if a.ndim < nd:
+        a = a.reshape(a.shape + (1,) * (nd - a.ndim))
+    if b.ndim < nd:
+        b = b.reshape(b.shape + (1,) * (nd - b.ndim))
+    return a, b
+
+
 def zeros(spec: FieldSpec, batch_shape=()) -> jax.Array:
     return jnp.zeros((spec.n_limbs,) + tuple(batch_shape), dtype=jnp.uint32)
 
@@ -110,11 +122,13 @@ def _unstack(a: jax.Array) -> list[jax.Array]:
 
 
 def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    a, b = _align(a, b)
     s, c = _carry_scan(a + b)
     return _cond_sub_q_arr(spec, s, c)
 
 
 def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    a, b = _align(a, b)
     q = jnp.asarray(spec.q_limbs, dtype=jnp.uint32)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     b0 = jnp.zeros(batch, dtype=jnp.uint32)
@@ -155,6 +169,7 @@ def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     suffices.  This keeps the trace ~n*12 primitives instead of ~2n^2*5 and
     turns the inner loops into full-width vector ops (the VPU-shaped
     equivalent of the ADX carry chains in field/asm/element_4w_amd64.s)."""
+    a, b = _align(a, b)
     n = spec.n_limbs
     q = _bc(spec.q_limbs, max(a.ndim, b.ndim) - 1)
     qinv = jnp.uint32(spec.qinv_neg)
@@ -229,6 +244,7 @@ def is_zero(spec: FieldSpec, a: jax.Array) -> jax.Array:
 
 
 def eq(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    a, b = _align(a, b)
     acc = a[0] ^ b[0]
     for i in range(1, spec.n_limbs):
         acc = acc | (a[i] ^ b[i])
@@ -237,6 +253,7 @@ def eq(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
 
 def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
     """mask ? a : b — mask has batch shape (constant-time Select analogue)."""
+    a, b = _align(a, b)
     return jnp.where(mask[None], a, b)
 
 

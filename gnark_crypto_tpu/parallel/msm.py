@@ -68,8 +68,9 @@ def msm_sharded(
     local_n = n // n_dev
     n_buckets = 1 << (c - 1)
     if cap is None:
-        mean = max(1, -(-local_n // n_buckets))
-        cap = 1 << max(1, (2 * mean - 1).bit_length())
+        from ..msm.msm import pick_cap
+
+        cap = pick_cap(local_n, c)
     cap = min(cap, 1 << max(0, (local_n - 1).bit_length()))
 
     def local_fn(px, py, s):

@@ -71,7 +71,7 @@ def ntt_sharded(
         # after: this device holds rows k in [me*R/n_dev, (me+1)*R/n_dev)
         # with all C columns in global order.
         xr = jnp.swapaxes(xc, 1, 2)              # (nl, R, Cl)
-        xr = jax.lax.all_to_all(xr, axis, split_axis=1, concat_axis=2)
+        xr = jax.lax.all_to_all(xr, axis, split_axis=1, concat_axis=2, tiled=True)
         # xr: (nl, R/n_dev, C), [l, kloc, c] = A1'[me*R/n_dev + kloc, c]
         # step 4: row NTTs (length C)
         xr = _local_ntt_batched(dom_C, xr)       # (nl, R/n_dev, C)
