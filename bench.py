@@ -23,6 +23,12 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
+try:
+    # XLA:CPU AOT cache entries fail to re-load (machine-feature mismatch on
+    # the same host) — without this, every cache hit silently recompiles.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

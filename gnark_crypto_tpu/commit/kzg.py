@@ -29,6 +29,39 @@ from ..fft.domain import powers
 from ..msm.msm import msm
 from ..pairing import g2_from_ints, pairing_check, pairing_ctx
 from ..towers.reference import twist_curve
+from ..towers.stacks import PairingStack
+
+
+def _g2_host(tw):
+    """(host twist curve, g2 generator) for either pairing context: the
+    specialized Tower (bn/bls12) or the generic PairingStack (all curves)."""
+    if isinstance(tw, PairingStack):
+        from ..towers.host import HostCurve
+
+        h = tw.host_tf
+        b = tw.b_twist if not isinstance(tw.b_twist, int) else h.embed(tw.b_twist)
+        gx, gy = tw.g2_gen
+        if isinstance(gx, int):
+            gx, gy = h.embed(gx), h.embed(gy)
+        return HostCurve(h, b), (gx, gy)
+    tc = twist_curve(tw.ts)
+    return tc, (tw.ts.g2x, tw.ts.g2y)
+
+
+def _device_pairing_check(tw, cs: CurveSpec, g1_pts, g2_pts) -> bool:
+    """prod e(P_i, Q_i) == 1 with host point lists, on either context."""
+    if isinstance(tw, PairingStack):
+        from ..curves import group as grp
+        from ..curves.g2 import g2_group
+        from ..pairing import ate
+
+        g2g = g2_group(cs.name)
+        p_dev = gp.affine_from_ints(cs, g1_pts)
+        q_dev = grp.affine_from_host(g2g, g2_pts)
+        return bool(np.asarray(ate.pairing_check(tw, p_dev, q_dev)))
+    p_dev = gp.affine_from_ints(cs, g1_pts)
+    q_dev = g2_from_ints(tw, g2_pts)
+    return bool(np.asarray(pairing_check(tw, p_dev, q_dev)))
 
 
 @dataclasses.dataclass
@@ -67,8 +100,7 @@ def new_srs(cs: CurveSpec, tw, size: int, tau: int) -> SRS:
     scalars = mont.from_ints(cs.fr, taus, mont=False)
     pk_jac = batch_scalar_mul_fixed_base(cs, cs.generator, scalars)
     pk_aff = gp.jac_to_affine(cs, pk_jac)
-    tc = twist_curve(tw.ts)
-    g2 = (tw.ts.g2x, tw.ts.g2y)
+    tc, g2 = _g2_host(tw)
     tau_g2 = tc.mul(tau, g2)
     return SRS(
         pk=ProvingKey(g1=pk_aff),
@@ -137,16 +169,16 @@ def verify(tw, cs: CurveSpec, vk: VerifyingKey, commitment, proof: OpeningProof,
     """Verify (kzg.go:207): e(H, [tau - a]G2) * e(C - yG1, -G2) == 1.
     Host point glue + one device pairing check of batch 2."""
     r = cs.fr.modulus
-    tc = twist_curve(tw.ts)
+    tc, _ = _g2_host(tw)
     g2, tau_g2 = vk.g2
     # [tau - a]G2 = tauG2 + (-a)G2
     g2_shift = tc.add(tau_g2, tc.mul((-a) % r, g2))
     c_minus_y = cs.ref.add(commitment, cs.ref.mul((-proof.claimed_value) % r,
                                                   vk.g1))
     neg_g2 = tc.neg(g2)
-    p_dev = gp.affine_from_ints(cs, [proof.h, c_minus_y])
-    q_dev = g2_from_ints(tw, [g2_shift, neg_g2])
-    return bool(np.asarray(pairing_check(tw, p_dev, q_dev)))
+    return _device_pairing_check(
+        tw, cs, [proof.h, c_minus_y], [g2_shift, neg_g2]
+    )
 
 
 def derive_gamma(a: int, digests, claimed_values, modulus: int) -> int:

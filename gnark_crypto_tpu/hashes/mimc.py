@@ -29,6 +29,9 @@ _PARAMS = {
     "bls12_381_fr": (111, 5),
     "bls12_377_fr": (62, 17),
     "bw6_761_fr": (163, 5),
+    "bls24_315_fr": (109, 5),   # ecc/bls24-315/fr/mimc/mimc.go:27,:157 (x^5)
+    "bls24_317_fr": (91, 7),    # ecc/bls24-317/fr/mimc/mimc.go:27,:157 (x^7)
+    "bw6_633_fr": (136, 5),     # ecc/bw6-633/fr/mimc/mimc.go:27,:157 (x^5)
 }
 
 

@@ -29,11 +29,18 @@ _CURVES = {
     ID.BN254: "bn254",
     ID.BLS12_377: "bls12_377",
     ID.BLS12_381: "bls12_381",
+    ID.BLS24_315: "bls24_315",
+    ID.BLS24_317: "bls24_317",
+    ID.BW6_761: "bw6_761",
+    ID.BW6_633: "bw6_633",
     ID.SECP256K1: "secp256k1",
     ID.STARK_CURVE: "stark_curve",
 }
 
-_PAIRING_CURVES = {ID.BN254, ID.BLS12_377, ID.BLS12_381}
+_PAIRING_CURVES = {
+    ID.BN254, ID.BLS12_377, ID.BLS12_381,
+    ID.BLS24_315, ID.BLS24_317, ID.BW6_761, ID.BW6_633,
+}
 
 
 def implemented() -> list[ID]:
@@ -55,19 +62,37 @@ def base_field(id_: ID) -> int:
     return curve(id_).fp.modulus
 
 
+_SPECIALIZED_PAIRING = {ID.BN254, ID.BLS12_377, ID.BLS12_381}
+
+
 def pairing_tower(id_: ID):
-    assert id_ in _PAIRING_CURVES, f"{id_} has no pairing"
+    """Specialized E12 Tower context (bn/bls12 families)."""
+    assert id_ in _SPECIALIZED_PAIRING, f"{id_} uses pairing_stack()"
     from .pairing import pairing_ctx
 
     return pairing_ctx(_CURVES[id_])
 
 
+def pairing_stack(id_: ID):
+    """Generic flat-Ops pairing stack — available for every pairing curve
+    (pairing/ate.py)."""
+    assert id_ in _PAIRING_CURVES, f"{id_} has no pairing"
+    from .towers.stacks import stack
+
+    return stack(_CURVES[id_])
+
+
 def new_srs(id_: ID, size: int, tau: int):
-    """kzg.NewSRS facade (kzg/kzg.go:38)."""
+    """kzg.NewSRS facade (kzg/kzg.go:38) — works for every pairing curve
+    (specialized Tower for bn/bls12, generic PairingStack otherwise)."""
     from .commit import kzg as _kzg
 
     cs = curve(id_)
-    tw = pairing_tower(id_)
+    tw = (
+        pairing_tower(id_)
+        if id_ in _SPECIALIZED_PAIRING
+        else pairing_stack(id_)
+    )
     return _kzg.new_srs(cs, tw, size, tau)
 
 
@@ -93,7 +118,10 @@ def _register_defaults():
     from .hashes.mimc import mimc
     from .hashes.poseidon2 import poseidon2
 
-    for field in ("bn254_fr", "bls12_381_fr", "bls12_377_fr", "bw6_761_fr"):
+    for field in (
+        "bn254_fr", "bls12_381_fr", "bls12_377_fr", "bw6_761_fr",
+        "bls24_315_fr", "bls24_317_fr", "bw6_633_fr",
+    ):
         register_hash(f"MIMC_{field.upper()}", functools.partial(mimc, field))
     register_hash("POSEIDON2_BN254", poseidon2)
     return True
