@@ -90,7 +90,7 @@ def bench_msm():
     from gnark_crypto_tpu.curves import bn254, point
     from gnark_crypto_tpu.curves.fixed_base import batch_scalar_mul_fixed_base
     from gnark_crypto_tpu.fields import mont
-    from gnark_crypto_tpu.msm.msm import default_window, msm_jit
+    from gnark_crypto_tpu.msm.msm import default_window, msm_jit, pick_cap
 
     cs = bn254()
     n = 1 << LOG2_N
@@ -108,13 +108,16 @@ def bench_msm():
         mont=False,
     )
     c = min(default_window(n, cs.fr.bits), 14)
-    n_buckets = 1 << (c - 1)
-    mean = max(1, -(-n // n_buckets))
-    cap = 1 << max(1, (2 * mean - 1).bit_length())
+    cap = pick_cap(n, c)
 
-    out, over = msm_jit(cs, pts, scalars, c, cap)
-    jax.block_until_ready(out)
-    assert int(over) == 0, "bucket overflow in bench"
+    # warm up and settle on an overflow-free capacity (msm()'s retry logic,
+    # done here so the timed pass is a single jitted call)
+    while True:
+        out, over = msm_jit(cs, pts, scalars, c, cap)
+        jax.block_until_ready(out)
+        if int(over) == 0:
+            break
+        cap *= 2
     t0 = time.perf_counter()
     out, over = msm_jit(cs, pts, scalars, c, cap)
     jax.block_until_ready(out)

@@ -35,11 +35,18 @@ class EdwardsSpec:
 
     def __post_init__(self):
         pf = PF(self.fr.modulus)
-        assert pf.legendre(self.a) == 1, "a must be a square (completeness)"
-        assert pf.legendre(self.d) == -1, "d must be a non-square (completeness)"
+        assert pf.legendre(self.d) == -1, "d must be a non-square"
         o = EdOracle(self)
         assert o.is_on_curve((self.bx, self.by)), "base point not on curve"
         assert o.mul(self.order, (self.bx, self.by)) == (0, 1), "base point order"
+
+    @functools.cached_property
+    def complete(self) -> bool:
+        """Unified bbjlp addition is complete iff a is a square and d is not.
+        Bandersnatch (a=-5, non-square) is the one incomplete instance; its
+        exceptional pairs never arise for prime-subgroup points (same stance
+        as the reference's shared projective formulas, twistededwards/point.go)."""
+        return PF(self.fr.modulus).legendre(self.a) == 1
 
 
 class EdOracle:
@@ -188,3 +195,127 @@ def bn254_edwards() -> EdwardsSpec:
         bx=9671717474070082183213120605117400219616337014328744928644933853176787189663,
         by=16950150798460657717958625567821834550301663161624707787222815936182638968203,
     )
+
+
+@functools.cache
+def bls12_381_edwards() -> EdwardsSpec:
+    # config/bls12-381.go:136-146 ("Jubjub")
+    fr = get_spec("bls12_381_fr")
+    return EdwardsSpec(
+        name="bls12_381_edwards",
+        fr=fr,
+        a=-1 % fr.modulus,
+        d=19257038036680949359750312669786877991949435402254120286184196891950884077233,
+        order=6554484396890773809930967563523245729705921265872317281365359162392183254199,
+        cofactor=8,
+        bx=23426137002068529236790192115758361610982344002369094106619281483467893291614,
+        by=39325435222430376843701388596190331198052476467368316772266670064146548432123,
+    )
+
+
+@functools.cache
+def bandersnatch() -> EdwardsSpec:
+    # config/bls12-381.go:148-163 (a=-5, GLV endomorphism curve over fr381)
+    fr = get_spec("bls12_381_fr")
+    return EdwardsSpec(
+        name="bandersnatch",
+        fr=fr,
+        a=-5 % fr.modulus,
+        d=45022363124591815672509500913686876175488063829319466900776701791074614335719,
+        order=13108968793781547619861935127046491459309155893440570251786403306729687672801,
+        cofactor=4,
+        bx=18886178867200960497001835917649091219057080094937609519140440539760939937304,
+        by=19188667384257783945677642223292697773471335439753913231509108946878080696678,
+    )
+
+
+@functools.cache
+def bls12_377_edwards() -> EdwardsSpec:
+    # config/bls12-377.go:307-317
+    fr = get_spec("bls12_377_fr")
+    return EdwardsSpec(
+        name="bls12_377_edwards",
+        fr=fr,
+        a=-1 % fr.modulus,
+        d=3021,
+        order=2111115437357092606062206234695386632838870926408408195193685246394721360383,
+        cofactor=4,
+        bx=717051916204163000937139483451426116831771857428389560441264442629694842243,
+        by=882565546457454111605105352482086902132191855952243170543452705048019814192,
+    )
+
+
+@functools.cache
+def bls24_315_edwards() -> EdwardsSpec:
+    # config/bls24-315.go:59-69
+    fr = get_spec("bls24_315_fr")
+    return EdwardsSpec(
+        name="bls24_315_edwards",
+        fr=fr,
+        a=-1 % fr.modulus,
+        d=8771873785799030510227956919069912715983412030268481769609515223557738569779,
+        order=1437753473921907580703509300571927811987591765799164617677716990775193563777,
+        cofactor=8,
+        bx=750878639751052675245442739791837325424717022593512121860796337974109802674,
+        by=1210739767513185331118744674165833946943116652645479549122735386298364723201,
+    )
+
+
+@functools.cache
+def bls24_317_edwards() -> EdwardsSpec:
+    # config/bls24-317.go:71-81
+    fr = get_spec("bls24_317_fr")
+    return EdwardsSpec(
+        name="bls24_317_edwards",
+        fr=fr,
+        a=-1 % fr.modulus,
+        d=20748505950524021841644589704740731932416084248011369709738936344973878925081,
+        order=3858698654557105525567273719690987823069521430163883173133245580997415449969,
+        cofactor=8,
+        bx=4348505656527095883506785370890963704100065639426869666063106978260788240233,
+        by=1929349327278552762783636859845493911537170411830425720219700276810167091201,
+    )
+
+
+@functools.cache
+def bw6_761_edwards() -> EdwardsSpec:
+    # config/bw6-761.go:264-274
+    fr = get_spec("bw6_761_fr")
+    return EdwardsSpec(
+        name="bw6_761_edwards",
+        fr=fr,
+        a=-1 % fr.modulus,
+        d=79743,
+        order=32333053251621136751331591711861691692049189094364332567435817881934511297123972799646723302813083835942624121493,
+        cofactor=8,
+        bx=109887223397525145051017418760180386187632078445902299543670312117371514695798874370143656894667315818446285582389,
+        by=31146823455109675839494591101665406662142618451815824757336761504421066243585705807124836638254810186490790034654,
+    )
+
+
+@functools.cache
+def bw6_633_edwards() -> EdwardsSpec:
+    # config/bw6-633.go:112-122
+    fr = get_spec("bw6_633_fr")
+    return EdwardsSpec(
+        name="bw6_633_edwards",
+        fr=fr,
+        a=-1 % fr.modulus,
+        d=37248940285811842784899494310834635440994424264352085037441815381151934266434102922992043546621,
+        order=4963142838689179791878211236301121218116687802119716497817028544854034649070444389864454748079,
+        cofactor=8,
+        bx=37635937024655419978837220647164498012335808680404874556501960268316961933409049243153117555100,
+        by=23823085625708063001015413934245381846960101450148849601038571303382730455875805408244170280142,
+    )
+
+
+EDWARDS_CURVES = {
+    "bn254": bn254_edwards,
+    "bls12_381": bls12_381_edwards,
+    "bandersnatch": bandersnatch,
+    "bls12_377": bls12_377_edwards,
+    "bls24_315": bls24_315_edwards,
+    "bls24_317": bls24_317_edwards,
+    "bw6_761": bw6_761_edwards,
+    "bw6_633": bw6_633_edwards,
+}

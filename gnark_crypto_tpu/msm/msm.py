@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.point import Affine, Jac, jac_add, jac_double, jac_inf
+from ..curves.point import Affine, Jac, jac_add, jac_double, jac_inf, jac_select
 from ..curves.spec import CurveSpec
 from ..fields import mont
 from ..fields.spec import LIMB_BITS
@@ -75,6 +75,65 @@ def signed_digits(fr_bits: int, c: int, scalars: jax.Array) -> jax.Array:
     return jnp.stack(digits, axis=0)
 
 
+def _affine_pair_add(cs: CurveSpec, x1, y1, v1, x2, y2, v2) -> Jac:
+    """Complete add of two affine-with-validity points -> Jacobian.
+
+    mmadd-2007-bl (both Z=1, 4M+2S) + mdbl-2007-bl doubling case (1M+5S) +
+    validity/infinity selects.  Used for the first level of the bucket tree
+    reduction, where every slot is still an input point: ~2.2x cheaper than
+    the complete jac_add (11M+5S plus an embedded jac_double)."""
+    f = cs.fp
+    h = mont.sub(f, x2, x1)
+    hh = mont.square(f, h)
+    i = mont.double(f, mont.double(f, hh))
+    j = mont.mul(f, h, i)
+    r = mont.double(f, mont.sub(f, y2, y1))
+    v = mont.mul(f, x1, i)
+    x3 = mont.sub(f, mont.sub(f, mont.square(f, r), j), mont.double(f, v))
+    y3 = mont.sub(
+        f,
+        mont.mul(f, r, mont.sub(f, v, x3)),
+        mont.double(f, mont.mul(f, y1, j)),
+    )
+    z3 = mont.double(f, h)
+    out = Jac(x3, y3, z3)
+
+    # doubling case (mdbl-2007-bl, Z=1)
+    xx = mont.square(f, x1)
+    yy = mont.square(f, y1)
+    yyyy = mont.square(f, yy)
+    s = mont.double(
+        f, mont.sub(f, mont.sub(f, mont.square(f, mont.add(f, x1, yy)), xx), yyyy)
+    )
+    m = mont.add(f, mont.double(f, xx), xx)
+    if cs.a != 0:
+        m = mont.add(f, m, mont.const(f, cs.a, x1.shape[1:]))
+    t = mont.sub(f, mont.square(f, m), mont.double(f, s))
+    y3d = mont.sub(
+        f,
+        mont.mul(f, m, mont.sub(f, s, t)),
+        mont.double(f, mont.double(f, mont.double(f, yyyy))),
+    )
+    dbl = Jac(t, y3d, mont.double(f, y1))
+
+    hz = mont.is_zero(f, h)
+    yeq = mont.eq(f, y1, y2)
+    both = jnp.logical_and(v1, v2)
+    out = jac_select(jnp.logical_and(hz, yeq), dbl, out)
+    out = jac_select(
+        jnp.logical_and(hz, jnp.logical_not(yeq)), jac_inf(cs, x1.shape[1:]), out
+    )
+    one_ = mont.one(f, x1.shape[1:])
+    zero_ = mont.zeros(f, x1.shape[1:])
+    only1 = jnp.logical_and(v1, jnp.logical_not(v2))
+    only2 = jnp.logical_and(v2, jnp.logical_not(v1))
+    out = jac_select(jnp.logical_not(both), jac_inf(cs, x1.shape[1:]), out)
+    out = jac_select(only1, Jac(x1, y1, one_), out)
+    out = jac_select(only2, Jac(x2, y2, one_), out)
+    del zero_
+    return out
+
+
 def _bucket_matrix_accumulate(
     cs: CurveSpec, points: Affine, digit: jax.Array, n_buckets: int, cap: int
 ):
@@ -109,14 +168,21 @@ def _bucket_matrix_accumulate(
     ym = jnp.zeros((f.n_limbs, total), jnp.uint32).at[:, slot].set(y_signed)
     valid = jnp.zeros((total,), bool).at[slot].set(absd > 0)
 
-    zm = mont.select(valid, mont.one(f, (total,)), mont.zeros(f, (total,)))
-    acc = Jac(
-        xm.reshape(f.n_limbs, n_buckets + 1, cap),
-        ym.reshape(f.n_limbs, n_buckets + 1, cap),
-        zm.reshape(f.n_limbs, n_buckets + 1, cap),
-    )
-    # pairwise tree reduction along the capacity axis (log2(cap) adds)
-    m = cap
+    xm = xm.reshape(f.n_limbs, n_buckets + 1, cap)
+    ym = ym.reshape(f.n_limbs, n_buckets + 1, cap)
+    vm = valid.reshape(n_buckets + 1, cap)
+    # level 1: every slot is an input point (affine, Z=1) — cheap pair add
+    if cap > 1:
+        m = cap // 2
+        acc = _affine_pair_add(
+            cs,
+            xm[:, :, :m], ym[:, :, :m], vm[:, :m],
+            xm[:, :, m:], ym[:, :, m:], vm[:, m:],
+        )
+    else:
+        zm = mont.select(vm, mont.one(f, vm.shape), mont.zeros(f, vm.shape))
+        acc, m = Jac(xm, ym, zm), 1
+    # remaining levels: complete Jacobian pairwise tree (log2(cap)-1 adds)
     while m > 1:
         m //= 2
         lhs = Jac(acc.x[:, :, :m], acc.y[:, :, :m], acc.z[:, :, :m])
@@ -139,24 +205,86 @@ def _all_window_buckets(cs, points, digits, n_buckets, cap):
     )  # (n_limbs, W, nb)
 
 
-def _weighted_bucket_sums(cs: CurveSpec, buckets: Jac) -> Jac:
-    """Σ_{b=1..nb} b * B_b for every window at once: running-sum scan from the
-    top bucket (two accumulators, batched over the window axis)."""
-    n_windows = buckets.x.shape[1]
-    rev = jax.tree.map(lambda a: jnp.flip(jnp.moveaxis(a, 2, 0), axis=0), buckets)
-    init = (jac_inf(cs, (n_windows,)), jac_inf(cs, (n_windows,)))
+def _jac_sum_axis(cs: CurveSpec, p: Jac, axis: int) -> Jac:
+    """Pairwise tree fold of Jacobian points along one batch axis."""
+    m = p.x.shape[axis]
+
+    def take(x, sl):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = sl
+        return x[tuple(idx)]
+
+    while m > 1:
+        h = m // 2
+        merged = jac_add(
+            cs,
+            Jac(*(take(a, slice(0, h)) for a in p)),
+            Jac(*(take(a, slice(h, 2 * h)) for a in p)),
+        )
+        if m % 2:
+            merged = Jac(*(
+                jnp.concatenate([ma, take(a, slice(m - 1, m))], axis=axis)
+                for ma, a in zip(merged, p)
+            ))
+            m = h + 1
+        else:
+            m = h
+        p = merged
+    return Jac(*(jnp.squeeze(take(a, slice(0, 1)), axis=axis) for a in p))
+
+
+def _weighted_bucket_sums(cs: CurveSpec, buckets: Jac, block: int = 128) -> Jac:
+    """Σ_{b=1..nb} b * B_b for every window at once.
+
+    The classic two-accumulator running sum (msmReduceChunkG1Affine,
+    multiexp.go:302) is depth-nb serial; here it is BLOCKED: split the bucket
+    axis into J chunks of G buckets and run the running sum inside all chunks
+    in parallel (depth G, width W*J), giving per chunk j
+
+        S_j = Σ_{i=1..G} i * B_{base_j + i},   C_j = Σ_i B_{base_j + i}
+
+    with base_m = m*G (chunk m = reshape group m, covering buckets
+    mG+1..mG+G), so  Σ_b b*B_b = Σ_m S_m + G * Σ_m m*C_m.  The cross-chunk
+    weighted sum reuses the same two-accumulator trick over J chunks (fed
+    highest-m first), and the factor G is log2(G) doublings.  Depth
+    ~G+J+log2(G*J) instead of nb; compute unchanged (2 adds per bucket)."""
+    n_limbs, n_windows, nb = buckets.x.shape
+    G = min(block, nb)
+    assert nb % G == 0
+    J = nb // G
+    # within-chunk scan order: highest bucket of the chunk first, so that
+    # B_{mG+i} accumulates coefficient i in the running total
+    resh = jax.tree.map(
+        lambda a: jnp.flip(a.reshape(n_limbs, n_windows, J, G), axis=3), buckets
+    )  # [..., m, s] = B_{mG + G - s}
+    xs = jax.tree.map(lambda a: jnp.moveaxis(a, 3, 0), resh)  # (G, nl, W, J)
+    init = (jac_inf(cs, (n_windows, J)), jac_inf(cs, (n_windows, J)))
 
     def body(carry, b):
         running, total = carry
-        bx, by, bz = b
-        running = jac_add(cs, running, Jac(bx, by, bz))
+        running = jac_add(cs, running, Jac(*b))
         total = jac_add(cs, total, running)
         return (running, total), None
 
-    (_, total), _ = jax.lax.scan(
-        body, init, (rev.x, rev.y, rev.z)
-    )
-    return total  # (n_limbs, W)
+    (c_chunks, s_chunks), _ = jax.lax.scan(body, init, tuple(xs))
+    # cross-chunk: T = Σ_m m * C_m; feeding m = J-1 .. 0 into the
+    # add-after-accumulate loop gives C_m exactly coefficient m
+    cxs = jax.tree.map(
+        lambda a: jnp.flip(jnp.moveaxis(a, 2, 0), axis=0), c_chunks
+    )  # (J, nl, W), highest chunk first
+    init2 = (jac_inf(cs, (n_windows,)), jac_inf(cs, (n_windows,)))
+
+    def body2(carry, c):
+        running, total = carry
+        total = jac_add(cs, total, running)
+        running = jac_add(cs, running, Jac(*c))
+        return (running, total), None
+
+    (_, t), _ = jax.lax.scan(body2, init2, tuple(cxs))
+    for _ in range(G.bit_length() - 1):  # T *= G (G a power of two)
+        t = jac_double(cs, t)
+    s_total = _jac_sum_axis(cs, s_chunks, axis=2)  # Σ_j S_j, (nl, W)
+    return jac_add(cs, s_total, t)
 
 
 def _horner_windows(cs: CurveSpec, wsums: Jac, c: int) -> Jac:
@@ -187,11 +315,14 @@ def msm_jit(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int, cap: int)
 
 
 def pick_cap(n: int, c: int) -> int:
-    """Bucket capacity: >= 2x the mean load (overflow then needs a heavy
-    Poisson tail) and >= 16 (so sparse-bucket regimes rarely retry)."""
+    """Bucket capacity: >= 4x the mean load and >= 16.  At 4x the mean the
+    per-bucket overflow probability is a Chernoff tail exp(-mean*(4ln4-3))
+    ~ exp(-2.5*mean); summed over all (window, bucket) cells this is
+    negligible for mean >= 8, so the single-pass jitted MSM almost never
+    retries (2x was NOT enough: at n=2^18, c=14 the retry rate was ~50%)."""
     n_buckets = 1 << (c - 1)
     mean = max(1, -(-n // n_buckets))
-    cap = 1 << max(4, (2 * mean - 1).bit_length())
+    cap = 1 << max(4, (4 * mean - 1).bit_length())
     return min(cap, _ceil_pow2(n))
 
 
