@@ -23,12 +23,24 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
-try:
-    # XLA:CPU AOT cache entries fail to re-load (machine-feature mismatch on
-    # the same host) — without this, every cache hit silently recompiles.
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
-except Exception:
-    pass
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if jax.default_backend() != "tpu":
+    try:
+        # XLA:CPU AOT cache entries fail to re-load (machine-feature mismatch
+        # on the same host) — without this, every cache hit silently
+        # recompiles.  TPU executables reload fine; keep them cached there.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
+
+
+def _log(msg: str) -> None:
+    """Stage progress to stderr (stdout stays one JSON line for the driver)."""
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -109,12 +121,14 @@ def bench_msm():
     )
     c = min(default_window(n, cs.fr.bits), 14)
     cap = pick_cap(n, c)
+    _log(f"msm setup done (n=2^{LOG2_N}, c={c}, cap={cap})")
 
     # warm up and settle on an overflow-free capacity (msm()'s retry logic,
     # done here so the timed pass is a single jitted call)
     while True:
         out, over = msm_jit(cs, pts, scalars, c, cap)
         jax.block_until_ready(out)
+        _log(f"msm warm pass done (cap={cap}, overflow={int(over)})")
         if int(over) == 0:
             break
         cap *= 2
@@ -127,9 +141,13 @@ def bench_msm():
 
 def main():
     t_start = time.time()
+    _log(f"start, backend={jax.default_backend()}")
     mul_rate = bench_field_mul()
+    _log(f"field_mul {mul_rate:.3e}/s")
     ntt_time = bench_ntt()
+    _log(f"ntt 2^{LOG2_NTT} {ntt_time:.4f}s")
     msm_pps, msm_time = bench_msm()
+    _log(f"msm {msm_pps:.3e} pts/s")
     result = {
         "metric": f"bn254_g1_msm_points_per_sec_2^{LOG2_N}",
         "value": round(msm_pps, 1),

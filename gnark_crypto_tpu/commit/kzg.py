@@ -48,20 +48,39 @@ def _g2_host(tw):
     return tc, (tw.ts.g2x, tw.ts.g2y)
 
 
+import functools
+
+
+@functools.cache
+def _jitted_check_stack(tw):
+    from ..pairing import ate
+
+    return jax.jit(lambda p, q: ate.pairing_check(tw, p, q))
+
+
+@functools.cache
+def _jitted_check_tower(tw):
+    return jax.jit(lambda p, q: pairing_check(tw, p, q))
+
+
 def _device_pairing_check(tw, cs: CurveSpec, g1_pts, g2_pts) -> bool:
-    """prod e(P_i, Q_i) == 1 with host point lists, on either context."""
+    """prod e(P_i, Q_i) == 1 with host point lists, on either context.
+
+    The pairing graph is jitted once per (context, batch-shape) and cached
+    module-wide — point values arrive as arrays, so repeated Verify calls
+    (each with different host ints) reuse the compiled executable instead of
+    re-tracing (SURVEY.md §7 hard part #4)."""
     if isinstance(tw, PairingStack):
         from ..curves import group as grp
         from ..curves.g2 import g2_group
-        from ..pairing import ate
 
         g2g = g2_group(cs.name)
         p_dev = gp.affine_from_ints(cs, g1_pts)
         q_dev = grp.affine_from_host(g2g, g2_pts)
-        return bool(np.asarray(ate.pairing_check(tw, p_dev, q_dev)))
+        return bool(np.asarray(_jitted_check_stack(tw)(p_dev, q_dev)))
     p_dev = gp.affine_from_ints(cs, g1_pts)
     q_dev = g2_from_ints(tw, g2_pts)
-    return bool(np.asarray(pairing_check(tw, p_dev, q_dev)))
+    return bool(np.asarray(_jitted_check_tower(tw)(p_dev, q_dev)))
 
 
 @dataclasses.dataclass
@@ -108,9 +127,14 @@ def new_srs(cs: CurveSpec, tw, size: int, tau: int) -> SRS:
     )
 
 
-def _to_host_point(cs: CurveSpec, j: gp.Jac):
+def digest(cs: CurveSpec, j: gp.Jac):
+    """Host affine digest of a device commitment (the Digest type of
+    kzg.go:64 — commitments travel as affine points)."""
     aff = gp.jac_to_affine(cs, jax.tree.map(lambda a: a[..., None], j))
     return gp.affine_to_ints(cs, aff).reshape(-1)[0]
+
+
+_to_host_point = digest  # backwards-compat alias
 
 
 def commit(cs: CurveSpec, pk: ProvingKey, poly: jax.Array) -> gp.Jac:

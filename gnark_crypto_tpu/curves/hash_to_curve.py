@@ -105,32 +105,50 @@ def map_to_curve_svdw(cs: CurveSpec, u: jnp.ndarray) -> Affine:
     return Affine(x, y)
 
 
+# mapping algorithm per curve, following the reference's suite choices
+# (internal/generator/config/<curve>.go HashE1: SVDW vs SSWU)
+_SVDW_CURVES = frozenset({"bn254", "secp256k1", "stark_curve"})
+
+
+def map_to_curve(cs: CurveSpec, u: jnp.ndarray) -> Affine:
+    """Suite-correct map F_p -> E(F_p) (SVDW or SSWU+isogeny)."""
+    if cs.name in _SVDW_CURVES:
+        return map_to_curve_svdw(cs, u)
+    from .sswu import map_to_curve_sswu
+
+    return map_to_curve_sswu(cs, u)
+
+
+def _clear(cs: CurveSpec, r: Jac) -> Jac:
+    from .sswu import clear_cofactor
+
+    return clear_cofactor(cs, r)
+
+
 def hash_to_g1(cs: CurveSpec, msg: bytes, dst: bytes) -> tuple:
     """HashToG1 (RFC 9380 hash_to_curve): 2 field elements -> 2 maps -> add
-    -> clear cofactor.  Returns host affine ints."""
+    -> clear cofactor (reference-exact effective cofactor, sswu.py).
+    Returns host affine ints."""
     us = hash_to_field(msg, dst, cs.fp.modulus, 2)
     u = mont.from_ints(cs.fp, us)
-    q = map_to_curve_svdw(cs, u)
+    q = map_to_curve(cs, u)
     q0 = Affine(q.x[:, :1], q.y[:, :1])
     q1 = Affine(q.x[:, 1:], q.y[:, 1:])
     r = jac_add(cs, jac_from_affine(cs, q0), jac_from_affine(cs, q1))
+    r = _clear(cs, r)
     aff = jac_to_affine(cs, r)
     from .point import affine_to_ints
 
-    P = affine_to_ints(cs, aff)[0]
-    if cs.cofactor != 1:
-        P = cs.ref.mul(cs.cofactor, P)  # clear cofactor (host; fine for G1)
-    return P
+    return affine_to_ints(cs, aff)[0]
 
 
 def encode_to_g1(cs: CurveSpec, msg: bytes, dst: bytes) -> tuple:
     """EncodeToG1: single map (non-uniform encoding)."""
     us = hash_to_field(msg, dst, cs.fp.modulus, 1)
     u = mont.from_ints(cs.fp, us)
-    q = map_to_curve_svdw(cs, u)
+    q = map_to_curve(cs, u)
+    r = _clear(cs, jac_from_affine(cs, q))
+    aff = jac_to_affine(cs, r)
     from .point import affine_to_ints
 
-    P = affine_to_ints(cs, q)[0]
-    if cs.cofactor != 1:
-        P = cs.ref.mul(cs.cofactor, P)
-    return P
+    return affine_to_ints(cs, aff)[0]

@@ -492,10 +492,27 @@ def powers_traced(spec: FieldSpec, x: jax.Array, n: int) -> jax.Array:
 
 
 def from_ints(spec: FieldSpec, values, mont: bool = True) -> jax.Array:
-    """numpy/list of python ints -> (n_limbs, *batch) uint32 device array."""
+    """numpy/list of python ints -> (n_limbs, *batch) uint32 device array.
+
+    Large batches route through the native host-ops library (native/hostops.cpp
+    — batched byte decode + CIOS Montgomery conversion); the per-element
+    big-int path remains as the toolchain-free fallback."""
     arr = np.asarray(values, dtype=object)
     flat = arr.reshape(-1)
-    out = np.empty((spec.n_limbs, flat.shape[0]), dtype=np.uint32)
+    n = flat.shape[0]
+    if n >= 64:
+        from .. import native
+
+        if native.get_lib() is not None:
+            q = spec.modulus
+            nb = 2 * spec.n_limbs
+            data = b"".join((int(v) % q).to_bytes(nb, "big") for v in flat)
+            aos = native.bytes_to_limbs(data, nb, spec.n_limbs)
+            if mont:
+                aos = native.mont_mul_batch(spec, aos, spec.r2_limbs)
+            out = np.ascontiguousarray(aos.T)
+            return jnp.asarray(out.reshape((spec.n_limbs,) + arr.shape))
+    out = np.empty((spec.n_limbs, n), dtype=np.uint32)
     for i, v in enumerate(flat):
         v = int(v) % spec.modulus
         out[:, i] = spec.mont_limbs(v) if mont else spec.limbs(v)
@@ -504,11 +521,27 @@ def from_ints(spec: FieldSpec, values, mont: bool = True) -> jax.Array:
 
 def to_ints(spec: FieldSpec, a, mont: bool = True) -> np.ndarray:
     """(n_limbs, *batch) array -> numpy object array of canonical ints."""
-    if mont:
-        a = from_mont(spec, a)
     host = np.asarray(a)
     flat = host.reshape(spec.n_limbs, -1)
-    out = np.empty(flat.shape[1], dtype=object)
-    for i in range(flat.shape[1]):
+    n = flat.shape[1]
+    if n >= 64:
+        from .. import native
+
+        if native.get_lib() is not None:
+            aos = np.ascontiguousarray(flat.T)
+            if mont:
+                aos = native.mont_mul_batch(spec, aos, spec.limbs(1))
+            nb = 2 * spec.n_limbs
+            data = native.limbs_to_bytes(aos, nb).tobytes()
+            out = np.empty(n, dtype=object)
+            for i in range(n):
+                out[i] = int.from_bytes(data[i * nb:(i + 1) * nb], "big")
+            return out.reshape(host.shape[1:])
+    if mont:
+        a = from_mont(spec, a)
+        host = np.asarray(a)
+        flat = host.reshape(spec.n_limbs, -1)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
         out[i] = limbs_to_int(flat[:, i])
     return out.reshape(host.shape[1:])

@@ -199,13 +199,16 @@ def miller_loop(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:
 
 
 def final_exponentiation(st: PairingStack, f: jax.Array) -> jax.Array:
-    """(p^k - 1)/r in easy + hard parts, generic over k in {6, 12, 24}."""
+    """Easy part + family hard-part ladder (value-identical to the
+    reference's FinalExponentiation for bn/bls12/bls24; see cyclotomic.py)."""
+    from .cyclotomic import hard_part
+
     K = st.full
     # easy: f^(p^{k/2} - 1) via top-level conjugation, then ^(p^{k/6} + 1)
     f = K.mul(K.conj(f), K.inverse(f))
     f = K.mul(K.frobenius(f, st.embedding_degree // 6), f)
-    # hard: Phi_k(p)/r, scanned square-and-multiply
-    return pow_host(K, f, st.final_exp_hard)
+    # hard: cyclotomic-subgroup ladder (exponent = fixed multiple of Phi_k(p)/r)
+    return hard_part(st, f)
 
 
 def pair(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:

@@ -115,8 +115,19 @@ class GenericAteOracle:
 
     @functools.cached_property
     def final_exp_exponent(self) -> int:
+        """(p^k - 1)/r times the family hard-part multiple, matching the
+        reference's FinalExponentiation output exactly: the bn ladder
+        (pairing.go:78, eprint 2015/192) exponentiates by an extra
+        2x0(6x0^2+3x0+1); the bls12/bls24 HHT ladders (eprint 2020/875) by an
+        extra 3; bw6 is the plain exponent here (see ate.py docstring)."""
         st = self.st
-        return (st.p ** st.embedding_degree - 1) // st.r
+        base = (st.p ** st.embedding_degree - 1) // st.r
+        if st.family == "bn":
+            x0 = st.seed
+            return base * (2 * x0 * (6 * x0 * x0 + 3 * x0 + 1))
+        if st.family in ("bls12", "bls24"):
+            return base * 3
+        return base
 
     def final_exp(self, x):
         return self.K.pow(x, self.final_exp_exponent)

@@ -34,11 +34,15 @@ def evaluate(spec: FieldSpec, m: jax.Array, rs: list) -> jax.Array:
 
 def eq_table(spec: FieldSpec, rs: list[int]) -> jax.Array:
     """eq(r, x) for all x in {0,1}^v (the eq-table used by GKR):
-    built by doubling, v vectorized muls."""
+    built by doubling, v vectorized muls.
+
+    Variable order matches fold()/_mle_eval: rs[0] is the FIRST (most
+    significant index bit) variable — each concat doubles the table with the
+    new variable as the new MSB, so rs must be consumed in reverse."""
     import jax.numpy as jnp
 
     tab = mont.one(spec, (1,))
-    for r in rs:
+    for r in reversed(rs):
         rc = mont.const(spec, r, (1,))
         hi = mont.mul(spec, tab, rc)      # x_i = 1 branch
         lo = mont.sub(spec, tab, hi)      # x_i = 0: tab*(1-r)

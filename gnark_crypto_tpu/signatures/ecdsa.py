@@ -85,6 +85,61 @@ def sign(cs: CurveSpec, priv: PrivateKey, msg_hash: bytes,
         return Signature(r=r, s=s)
 
 
+def sign_for_recover(cs: CurveSpec, priv: PrivateKey, msg_hash: bytes,
+                     entropy: bytes = b"") -> tuple[int, Signature]:
+    """SignForRecover (ecdsa.go:235): also returns the recovery id v —
+    bit 0 = oddity of P.y, bit 1 = how many times P.x overflowed r."""
+    r_mod = cs.fr.modulus
+    m = hash_to_int(msg_hash, cs)
+    while True:
+        k = _nonce(priv, msg_hash, entropy, cs)
+        P = cs.ref.mul(k, cs.generator)
+        v = ((P[0] // r_mod) << 1) | (P[1] & 1)
+        r = P[0] % r_mod
+        if r == 0:
+            continue
+        s = pow(k, -1, r_mod) * (m + priv.scalar * r) % r_mod
+        if s == 0:
+            continue
+        return v, Signature(r=r, s=s)
+
+
+def recover_p(cs: CurveSpec, v: int, r: int) -> tuple:
+    """Reconstruct the nonce point P from (v, r) (recoverP, ecdsa.go:111)."""
+    if not 0 < r < cs.fr.modulus:
+        raise ValueError("r out of range")
+    from ..fields.reference import PF
+
+    p = cs.fp.modulus
+    x = r + ((v >> 1) & 1) * cs.fr.modulus
+    if x >= p:
+        raise ValueError("x out of base-field range")
+    y2 = (pow(x, 3, p) + cs.a * x + cs.b) % p
+    pf = PF(p)
+    if pf.legendre(y2) == -1:
+        raise ValueError("no square root: invalid recovery data")
+    y = pf.sqrt(y2)
+    if (y & 1) != (v & 1):
+        y = p - y
+    return (x, y)
+
+
+def recover_public_key(cs: CurveSpec, v: int, sig: Signature,
+                       msg_hash: bytes) -> PublicKey:
+    """ECDSA public-key recovery (PublicKey.RecoverFrom, ecdsa.go):
+    A = r^-1 (s·P - m·G) with P = recoverP(v, r)."""
+    r_mod = cs.fr.modulus
+    P = recover_p(cs, v, sig.r)
+    m = hash_to_int(msg_hash, cs)
+    rinv = pow(sig.r, -1, r_mod)
+    sP = cs.ref.mul(sig.s * rinv % r_mod, P)
+    mG = cs.ref.mul((-m * rinv) % r_mod, cs.generator)
+    A = cs.ref.add(sP, mG)
+    if A is None:
+        raise ValueError("recovered point at infinity")
+    return PublicKey(a=A)
+
+
 def verify(cs: CurveSpec, pub: PublicKey, sig: Signature, msg_hash: bytes) -> bool:
     """SEC 1 v2.0 4.1.4 (Verify, ecdsa.go)."""
     r_mod = cs.fr.modulus

@@ -1,0 +1,50 @@
+"""Cyclotomic squaring + family hard-part ladders vs the host big-int oracle.
+
+The ladder outputs must equal z^(c * Phi_k(p)/r) with the documented family
+multiple c (cyclotomic.py) — this is what makes device GT values identical to
+the reference's FinalExponentiation."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.pairing import cyclotomic as cyc
+from gnark_crypto_tpu.towers.stacks import stack
+
+
+def _phi_k(st):
+    # Phi_k(p) for k = 6m: p^(2m... k in {6,12,24}: Phi_k(p) = p^{k/3} - p^{k/6} + 1
+    k = st.embedding_degree
+    return st.p ** (k // 3) - st.p ** (k // 6) + 1
+
+
+def _cyclotomic_sample(st, seed_int: int):
+    """Host element of the cyclotomic subgroup: x^((p^k-1)/Phi_k(p))."""
+    K = st.host_full
+    x = K.rand(np.random.default_rng(seed_int))
+    e = (st.p ** st.embedding_degree - 1) // _phi_k(st)
+    return K.pow(x, e)
+
+
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls24_315", "bw6_633"])
+def test_cyclotomic_square_matches_pow2(name):
+    st = stack(name)
+    K = st.full
+    z_host = _cyclotomic_sample(st, 42)
+    z = K.from_ints([z_host])
+    got = K.to_ints(jax.jit(lambda a: cyc.cyclotomic_square(st, a))(z))[0]
+    want = st.host_full.pow(z_host, 2)
+    assert st.host_full.eq(got, want)
+
+
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377", "bls24_315"])
+def test_hard_part_ladder_exponent(name):
+    st = stack(name)
+    K = st.full
+    z_host = _cyclotomic_sample(st, 7)
+    z = K.from_ints([z_host])
+    got = K.to_ints(jax.jit(lambda a: cyc.hard_part(st, a))(z))[0]
+    c = {"bn": 2 * st.seed * (6 * st.seed**2 + 3 * st.seed + 1),
+         "bls12": 3, "bls24": 3}.get(st.family, 1)
+    want = st.host_full.pow(z_host, c * (_phi_k(st) // st.r))
+    assert st.host_full.eq(got, want)
