@@ -146,18 +146,34 @@ def map_to_curve_sswu(cs: CurveSpec, u: jnp.ndarray) -> Affine:
 
 
 def jac_mul_int(cs: CurveSpec, p: Jac, k: int) -> Jac:
-    """[k]P for a host integer k (double-and-add unrolled at trace time —
-    the mulWindowed analogue for small fixed scalars, g1.go:486)."""
+    """[k]P for a host integer k (the mulWindowed analogue for fixed
+    scalars, g1.go:486).  Small k unrolls at trace time; large k runs
+    double-and-add under lax.scan over the static bit string so the trace
+    stays two point-ops regardless of scalar size (compile-time control)."""
+    import jax
+    import numpy as np
+
     if k == 0:
         return jac_inf(cs, p.x.shape[1:])
     if k < 0:
         return jac_mul_int(cs, jac_neg(cs, p), -k)
-    acc = None
-    for bit in bin(k)[2:]:
-        if acc is not None:
-            acc = jac_double(cs, acc)
-        if bit == "1":
-            acc = p if acc is None else jac_add(cs, acc, p)
+    bits = bin(k)[2:]
+    if len(bits) <= 16:
+        acc = None
+        for bit in bits:
+            if acc is not None:
+                acc = jac_double(cs, acc)
+            if bit == "1":
+                acc = p if acc is None else jac_add(cs, acc, p)
+        return acc
+    bit_arr = jnp.asarray(np.array([c == "1" for c in bits[1:]], dtype=np.bool_))
+
+    def body(acc, bit):
+        acc = jac_double(cs, acc)
+        added = jac_add(cs, acc, p)
+        return jac_select(jnp.broadcast_to(bit, acc.x.shape[1:]), added, acc), None
+
+    acc, _ = jax.lax.scan(body, p, bit_arr)
     return acc
 
 

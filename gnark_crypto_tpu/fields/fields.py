@@ -141,6 +141,47 @@ def available() -> list[str]:
     return sorted(_NAMED_MODULI)
 
 
+def custom(name: str, modulus: int,
+           multiplicative_generator: int = 0) -> FieldSpec:
+    """Build a FieldSpec for an arbitrary odd prime modulus — the analogue of
+    the goff CLI (field/goff/main.go: `goff -m <modulus> -o dir -p pkg`):
+    instead of emitting a Go package, it returns the trace-time spec all
+    kernels specialize on.
+
+    If multiplicative_generator is 0 it is derived (smallest generator of
+    F_q^*), enabling FFT domains up to the field's two-adicity."""
+    assert modulus > 2 and modulus % 2 == 1, "modulus must be an odd prime"
+    if multiplicative_generator == 0:
+        multiplicative_generator = _find_generator(modulus)
+    return FieldSpec(
+        name=name,
+        modulus=modulus,
+        multiplicative_generator=multiplicative_generator,
+    )
+
+
+def _find_generator(q: int) -> int:
+    """Smallest generator of F_q^* (trial over the factorization of q-1,
+    mirroring field_config.go's generator derivation)."""
+    n = q - 1
+    factors = []
+    m = n
+    d = 2
+    while d * d <= m:
+        if m % d == 0:
+            factors.append(d)
+            while m % d == 0:
+                m //= d
+        d += 1 if d == 2 else 2
+    if m > 1:
+        factors.append(m)
+    g = 2
+    while True:
+        if all(pow(g, n // f, q) != 1 for f in factors):
+            return g
+        g += 1
+
+
 def _verify_constants():
     """Check the published FFT generators really generate F_q^* (order checks)
     and re-derive the BLS24 moduli from the family parametrization
