@@ -192,6 +192,54 @@ def _bucket_matrix_accumulate(
     return buckets, n_over
 
 
+def _small_window_sum(cs: CurveSpec, points: Affine, digit: jax.Array,
+                      m_bits: int) -> Jac:
+    """Σ dᵢ·Pᵢ for small non-negative digits d ∈ [0, 2^m_bits].
+
+    The TOP Pippenger window of a b-bit scalar has only b mod c live bits
+    (the reference's lastC handling, multiexp.go:681-693); its buckets are
+    ~2^(c-1-m) times overloaded, which would blow any bucket capacity sized
+    for the uniform windows (this was the round-1 bench failure).  Instead of
+    bucket scatter, decompose over bit planes:
+
+        Σᵢ dᵢ·Pᵢ = Σ_j 2^j · (Σ_{i: bit j of dᵢ} Pᵢ)
+
+    — each inner sum a validity-masked pairwise tree (affine first level,
+    complete Jacobian above), all planes batched in one pass."""
+    f = cs.fp
+    n = digit.shape[0]
+    nb = m_bits + 1  # d can equal 2^m_bits (carry in), needing bit m_bits
+    np2 = max(2, _ceil_pow2(n))
+    bits = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 0)
+    masks = ((digit[None, :] >> bits) & 1) == 1  # (nb, n)
+    x = jnp.broadcast_to(points.x[:, None, :], (f.n_limbs, nb, n))
+    y = jnp.broadcast_to(points.y[:, None, :], (f.n_limbs, nb, n))
+    if np2 != n:
+        pad = np2 - n
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)))
+        masks = jnp.pad(masks, ((0, 0), (0, pad)))
+    m = np2 // 2
+    acc = _affine_pair_add(
+        cs,
+        x[:, :, :m], y[:, :, :m], masks[:, :m],
+        x[:, :, m:], y[:, :, m:], masks[:, m:],
+    )
+    while m > 1:
+        m //= 2
+        acc = jac_add(
+            cs,
+            Jac(acc.x[:, :, :m], acc.y[:, :, :m], acc.z[:, :, :m]),
+            Jac(acc.x[:, :, m:2 * m], acc.y[:, :, m:2 * m], acc.z[:, :, m:2 * m]),
+        )
+    planes = Jac(acc.x[:, :, 0], acc.y[:, :, 0], acc.z[:, :, 0])  # batch (nb,)
+    out = Jac(planes.x[:, nb - 1], planes.y[:, nb - 1], planes.z[:, nb - 1])
+    for j in range(nb - 2, -1, -1):
+        out = jac_double(cs, out)
+        out = jac_add(cs, out, Jac(planes.x[:, j], planes.y[:, j], planes.z[:, j]))
+    return out
+
+
 def _all_window_buckets(cs, points, digits, n_buckets, cap):
     """lax.scan over windows -> stacked buckets (W, n_limbs, nb) x 3."""
 
@@ -304,13 +352,39 @@ def _horner_windows(cs: CurveSpec, wsums: Jac, c: int) -> Jac:
     return acc
 
 
+def window_sums(cs: CurveSpec, points: Affine, scalars: jax.Array,
+                c: int, cap: int):
+    """All per-window sums S_w (including the skewed top window).
+
+    Returns (overflow_count, Jac wsums with batch (n_windows,)).  The top
+    window of a b-bit scalar has only b mod c live bits (lastC,
+    multiexp.go:681-693); when it spans at most a quarter of the buckets it
+    is routed through the bit-plane path (_small_window_sum) instead of the
+    bucket matrix — its bucket loads are 2^(c-1-m) x the uniform windows',
+    which would force the shared static capacity sky-high (the round-1
+    failure mode: cap-doubling retry storm)."""
+    digits = signed_digits(cs.fr.bits, c, scalars)
+    n_buckets = 1 << (c - 1)
+    n_windows = digits.shape[0]
+    m_bits = cs.fr.bits - c * (n_windows - 1)
+    split_top = n_windows > 1 and m_bits <= c - 2
+    scan_digits = digits[:-1] if split_top else digits
+    over, buckets = _all_window_buckets(cs, points, scan_digits, n_buckets, cap)
+    wsums = _weighted_bucket_sums(cs, buckets)
+    if split_top:
+        top = _small_window_sum(cs, points, digits[-1], m_bits)
+        wsums = Jac(
+            jnp.concatenate([wsums.x, top.x[:, None]], axis=1),
+            jnp.concatenate([wsums.y, top.y[:, None]], axis=1),
+            jnp.concatenate([wsums.z, top.z[:, None]], axis=1),
+        )
+    return over, wsums
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def msm_jit(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int, cap: int):
     """One fully-jitted MSM pass.  Returns (Jac result, total_overflow)."""
-    digits = signed_digits(cs.fr.bits, c, scalars)
-    n_buckets = 1 << (c - 1)
-    over, buckets = _all_window_buckets(cs, points, digits, n_buckets, cap)
-    wsums = _weighted_bucket_sums(cs, buckets)
+    over, wsums = window_sums(cs, points, scalars, c, cap)
     return _horner_windows(cs, wsums, c), over
 
 

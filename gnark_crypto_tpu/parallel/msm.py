@@ -18,12 +18,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..curves.point import Affine, Jac, jac_add, jac_double
 from ..curves.spec import CurveSpec
-from ..msm.msm import (
-    _all_window_buckets,
-    _horner_windows,
-    _weighted_bucket_sums,
-    signed_digits,
-)
+from ..msm.msm import _horner_windows, window_sums
 
 
 def _fold_axis0(cs: CurveSpec, pts: Jac) -> Jac:
@@ -66,7 +61,6 @@ def msm_sharded(
     n_dev = mesh.shape[axis]
     assert n % n_dev == 0
     local_n = n // n_dev
-    n_buckets = 1 << (c - 1)
     if cap is None:
         from ..msm.msm import pick_cap
 
@@ -75,9 +69,7 @@ def msm_sharded(
 
     def local_fn(px, py, s):
         pts = Affine(px, py)
-        digits = signed_digits(cs.fr.bits, c, s)
-        over_total, buckets = _all_window_buckets(cs, pts, digits, n_buckets, cap)
-        ws = _weighted_bucket_sums(cs, buckets)  # (n_limbs, n_windows)
+        over_total, ws = window_sums(cs, pts, s, c, cap)  # (n_limbs, n_windows)
         # gather all devices' window sums; fold locally (identical everywhere)
         gx = jax.lax.all_gather(ws.x, axis, axis=1)  # (n_limbs, n_dev, n_windows)
         gy = jax.lax.all_gather(ws.y, axis, axis=1)
