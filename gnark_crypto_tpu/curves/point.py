@@ -143,10 +143,46 @@ def is_on_curve_affine(cs: CurveSpec, a: Affine) -> jax.Array:
 # group law (complete, branchless)
 # ---------------------------------------------------------------------------
 
+# Fused-kernel dispatch: on TPU, large batches run the whole group-law formula
+# in ONE VMEM-resident Pallas kernel (curves/pallas_point.py) instead of ~16
+# separate Montgomery-mul launches with HBM round-trips between them.  The
+# composed-op path below stays as the CPU/test ("purego"-analogue) fallback.
+_FUSED_MIN_N = 256
+
+
+def _fused_batch(*arrays):
+    """Common broadcast batch if fused dispatch applies, else None."""
+    import os
+
+    if os.environ.get("GNARK_TPU_NO_FUSED"):
+        return None
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    batch = jnp.broadcast_shapes(*(a.shape[1:] for a in arrays))
+    n = 1
+    for d in batch:
+        n *= d
+    return batch if n >= _FUSED_MIN_N else None
+
+
+def _flat(a: jax.Array, batch) -> jax.Array:
+    return jnp.broadcast_to(a, (a.shape[0],) + batch).reshape(a.shape[0], -1)
+
 
 def jac_double(cs: CurveSpec, p: Jac) -> Jac:
     """dbl-2009-l (a=0) / dbl-2007-bl (general a); infinity-safe (Z3=2YZ=0)."""
     f = cs.fp
+    batch = _fused_batch(p.x, p.y, p.z)
+    if batch is not None:
+        from . import pallas_point
+
+        out = pallas_point.jac_double(
+            cs, _flat(p.x, batch), _flat(p.y, batch), _flat(p.z, batch)
+        )
+        return Jac(*(o.reshape((f.n_limbs,) + batch) for o in out))
     A = mont.square(f, p.x)
     B = mont.square(f, p.y)
     C = mont.square(f, B)
@@ -175,6 +211,16 @@ def jac_add(cs: CurveSpec, p: Jac, q: Jac) -> Jac:
     cases of the reference's AddAssign (g1.go:243) become selects.
     """
     f = cs.fp
+    batch = _fused_batch(p.x, p.y, p.z, q.x, q.y, q.z)
+    if batch is not None:
+        from . import pallas_point
+
+        out = pallas_point.jac_add(
+            cs,
+            _flat(p.x, batch), _flat(p.y, batch), _flat(p.z, batch),
+            _flat(q.x, batch), _flat(q.y, batch), _flat(q.z, batch),
+        )
+        return Jac(*(o.reshape((f.n_limbs,) + batch) for o in out))
     z1z1 = mont.square(f, p.z)
     z2z2 = mont.square(f, q.z)
     u1 = mont.mul(f, p.x, z2z2)

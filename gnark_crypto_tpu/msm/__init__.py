@@ -1,3 +1,3 @@
-from .msm import default_window, msm, msm_jit, pick_cap, signed_digits
+from .msm import default_window, msm, msm_jit, signed_digits, window_sums
 
-__all__ = ["default_window", "msm", "msm_jit", "pick_cap", "signed_digits"]
+__all__ = ["default_window", "msm", "msm_jit", "signed_digits", "window_sums"]

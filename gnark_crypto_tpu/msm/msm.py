@@ -6,26 +6,31 @@ signed-digit Pippenger; the *schedule* is redesigned for a SIMD machine
 (SURVEY.md §7 hard part #2):
 
 - signed c-bit digits extracted vectorized (borrow-carry over windows);
-- bucket accumulation is NOT a conflict-queue scatter loop (multiexp_affine.go)
-  but a scatter into a padded (n_buckets, cap) point matrix by per-bucket rank
-  (rank = position - bucket_start, from a cheap int32 argsort) followed by a
-  log2(cap) pairwise tree reduction with complete Jacobian adds;
+- bucket accumulation is LOAD-ROBUST for any digit distribution: per window,
+  points are argsorted by |digit| and the sorted run is segment-reduced with a
+  log-depth SEGMENTED SCAN (Blelloch-style even/odd recursion with a
+  "segment-start" flag).  There is no per-bucket capacity, no padded bucket
+  matrix, and no data-dependent retry — the cost is ~2 point-adds per point
+  per window regardless of skew (all-equal scalars included), where the
+  reference's conflict-queue batch-affine processor (multiexp_affine.go:25)
+  handles skew with control flow that has no SIMD analogue;
 - windows are processed under ONE lax.scan (uniform computation, one compiled
-  body) instead of the reference's chunk goroutines;
+  body) instead of the reference's chunk goroutines; within a window the
+  sorted run is processed in fixed-size chunks under a second lax.scan with a
+  carried boundary partial sum, bounding peak memory at ~chunk-size Jacobians;
 - the Σ b·Bucket_b reduction is the classic two-accumulator running sum
-  (msmReduceChunkG1Affine, multiexp.go:302) as a scan over buckets, batched
-  across all windows at once;
+  (msmReduceChunkG1Affine, multiexp.go:302) as a scan over buckets, BLOCKED
+  across bucket groups and batched across all windows at once;
 - the final Σ_w 2^{cw} S_w Horner combination is a scan over windows.
 
-Overflow soundness: bucket capacity `cap` is static; points whose rank >= cap
-are diverted to the (ignored) bucket-0 row and *counted*.  `msm()` re-runs
-with doubled cap if the count is nonzero, so results are exact for any input,
-while the common case stays a single fully-jitted pass.
+The same core runs G1 (16-limb Fp coordinates) and any generic curves/group.py
+Group (G2 over Fp2/Fp4 flat limb stacks) through the _PointOps adapter.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +40,10 @@ from ..curves.point import Affine, Jac, jac_add, jac_double, jac_inf, jac_select
 from ..curves.spec import CurveSpec
 from ..fields import mont
 from ..fields.spec import LIMB_BITS
+
+# chunk size for the within-window segmented scan: bounds peak memory at
+# ~3 * L * CHUNK uint32 live Jacobian limbs (plus the gathered window).
+DEFAULT_CHUNK = 1 << 21
 
 
 def default_window(n: int, bits: int) -> int:
@@ -75,187 +84,172 @@ def signed_digits(fr_bits: int, c: int, scalars: jax.Array) -> jax.Array:
     return jnp.stack(digits, axis=0)
 
 
-def _affine_pair_add(cs: CurveSpec, x1, y1, v1, x2, y2, v2) -> Jac:
-    """Complete add of two affine-with-validity points -> Jacobian.
+class _PointOps(NamedTuple):
+    """Adapter making the MSM core generic over the coordinate field.
 
-    mmadd-2007-bl (both Z=1, 4M+2S) + mdbl-2007-bl doubling case (1M+5S) +
-    validity/infinity selects.  Used for the first level of the bucket tree
-    reduction, where every slot is still an input point: ~2.2x cheaper than
-    the complete jac_add (11M+5S plus an embedded jac_double)."""
+    Points are NamedTuples of (L, *batch) uint32 arrays (Jac: x,y,z)."""
+
+    L: int
+    jac: Any                              # Jac-like constructor (x, y, z)
+    add: Callable                         # complete jac add
+    double: Callable
+    inf: Callable                         # jac_inf(batch_shape)
+    select: Callable                      # jac_select(mask, a, b)
+    fneg: Callable                        # field negate
+    fselect: Callable                     # field select(mask, a, b)
+    fone: Callable                        # field one(batch_shape)
+    fzeros: Callable                      # field zeros(batch_shape)
+
+
+def _ops_for_curve(cs: CurveSpec) -> _PointOps:
     f = cs.fp
-    h = mont.sub(f, x2, x1)
-    hh = mont.square(f, h)
-    i = mont.double(f, mont.double(f, hh))
-    j = mont.mul(f, h, i)
-    r = mont.double(f, mont.sub(f, y2, y1))
-    v = mont.mul(f, x1, i)
-    x3 = mont.sub(f, mont.sub(f, mont.square(f, r), j), mont.double(f, v))
-    y3 = mont.sub(
-        f,
-        mont.mul(f, r, mont.sub(f, v, x3)),
-        mont.double(f, mont.mul(f, y1, j)),
+    return _PointOps(
+        L=f.n_limbs,
+        jac=Jac,
+        add=lambda p, q: jac_add(cs, p, q),
+        double=lambda p: jac_double(cs, p),
+        inf=lambda batch: jac_inf(cs, batch),
+        select=jac_select,
+        fneg=lambda a: mont.neg(f, a),
+        fselect=mont.select,
+        fone=lambda batch: mont.one(f, batch),
+        fzeros=lambda batch: mont.zeros(f, batch),
     )
-    z3 = mont.double(f, h)
-    out = Jac(x3, y3, z3)
-
-    # doubling case (mdbl-2007-bl, Z=1)
-    xx = mont.square(f, x1)
-    yy = mont.square(f, y1)
-    yyyy = mont.square(f, yy)
-    s = mont.double(
-        f, mont.sub(f, mont.sub(f, mont.square(f, mont.add(f, x1, yy)), xx), yyyy)
-    )
-    m = mont.add(f, mont.double(f, xx), xx)
-    if cs.a != 0:
-        m = mont.add(f, m, mont.const(f, cs.a, x1.shape[1:]))
-    t = mont.sub(f, mont.square(f, m), mont.double(f, s))
-    y3d = mont.sub(
-        f,
-        mont.mul(f, m, mont.sub(f, s, t)),
-        mont.double(f, mont.double(f, mont.double(f, yyyy))),
-    )
-    dbl = Jac(t, y3d, mont.double(f, y1))
-
-    hz = mont.is_zero(f, h)
-    yeq = mont.eq(f, y1, y2)
-    both = jnp.logical_and(v1, v2)
-    out = jac_select(jnp.logical_and(hz, yeq), dbl, out)
-    out = jac_select(
-        jnp.logical_and(hz, jnp.logical_not(yeq)), jac_inf(cs, x1.shape[1:]), out
-    )
-    one_ = mont.one(f, x1.shape[1:])
-    zero_ = mont.zeros(f, x1.shape[1:])
-    only1 = jnp.logical_and(v1, jnp.logical_not(v2))
-    only2 = jnp.logical_and(v2, jnp.logical_not(v1))
-    out = jac_select(jnp.logical_not(both), jac_inf(cs, x1.shape[1:]), out)
-    out = jac_select(only1, Jac(x1, y1, one_), out)
-    out = jac_select(only2, Jac(x2, y2, one_), out)
-    del zero_
-    return out
 
 
-def _bucket_matrix_accumulate(
-    cs: CurveSpec, points: Affine, digit: jax.Array, n_buckets: int, cap: int
-):
-    """Scatter points into a ((n_buckets+1) * cap) padded matrix by
-    (|digit|, rank) and tree-reduce the cap axis.  Returns (Jac buckets with
-    batch (n_buckets,), overflow_count)."""
-    f = cs.fp
-    n = digit.shape[0]
-    absd = jnp.abs(digit)
-    sign = digit < 0
-    # rank of each point within its bucket (stable): sort positions by bucket
-    order = jnp.argsort(absd, stable=True)
-    sorted_b = absd[order]
-    counts = jnp.bincount(absd, length=n_buckets + 1)
-    starts = jnp.cumsum(counts) - counts
-    rank_sorted = jnp.arange(n, dtype=jnp.int32) - starts[sorted_b].astype(jnp.int32)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+def _take_last(tree, sl):
+    return jax.tree.map(lambda a: a[..., sl], tree)
 
-    overflow = jnp.logical_and(rank >= cap, absd > 0)
-    n_over = jnp.sum(overflow.astype(jnp.int32))
-    # divert bucket-0 and overflow entries into slot 0 of the (ignored)
-    # bucket-0 row; bucket-0 ranks are NOT capped by `cap`, so they must be
-    # zeroed or they would spill into real bucket rows
-    dump = jnp.logical_or(overflow, absd == 0)
-    eff_b = jnp.where(dump, 0, absd)
-    eff_r = jnp.where(dump, 0, rank)
-    slot = eff_b * cap + eff_r  # unique per (bucket, rank) except row 0
 
-    total = (n_buckets + 1) * cap
-    y_signed = mont.select(sign, mont.neg(f, points.y), points.y)
-    xm = jnp.zeros((f.n_limbs, total), jnp.uint32).at[:, slot].set(points.x)
-    ym = jnp.zeros((f.n_limbs, total), jnp.uint32).at[:, slot].set(y_signed)
-    valid = jnp.zeros((total,), bool).at[slot].set(absd > 0)
+def _interleave_last(a, b):
+    """Zip two (..., m) trees into (..., 2m) along the last axis."""
+    def leaf(x, y):
+        stacked = jnp.stack([x, y], axis=-1)
+        return stacked.reshape(x.shape[:-1] + (2 * x.shape[-1],))
+    return jax.tree.map(leaf, a, b)
 
-    xm = xm.reshape(f.n_limbs, n_buckets + 1, cap)
-    ym = ym.reshape(f.n_limbs, n_buckets + 1, cap)
-    vm = valid.reshape(n_buckets + 1, cap)
-    # level 1: every slot is an input point (affine, Z=1) — cheap pair add
-    if cap > 1:
-        m = cap // 2
-        acc = _affine_pair_add(
-            cs,
-            xm[:, :, :m], ym[:, :, :m], vm[:, :m],
-            xm[:, :, m:], ym[:, :, m:], vm[:, m:],
+
+def _segscan(op, f: jax.Array, p):
+    """Inclusive segmented scan along the LAST axis (power-of-two length).
+
+    f: (..., n) bool, True where element starts a new segment; p: point tree
+    with matching last axis.  op(((fa, pa), (fb, pb))) -> (f, p) is the
+    standard segmented-scan combiner.  Even/odd (Blelloch) recursion:
+    ~2 combines per element, log2(n) depth."""
+    n = f.shape[-1]
+    if n == 1:
+        return f, p
+    ev = (f[..., 0::2], _take_last(p, slice(0, None, 2)))
+    od = (f[..., 1::2], _take_last(p, slice(1, None, 2)))
+    cf, cp = op(ev, od)
+    sf, sp = _segscan(op, cf, cp)          # inclusive scan at odd positions
+    if n > 2:
+        pf, pp = op(
+            (sf[..., :-1], _take_last(sp, slice(0, -1))),
+            (f[..., 2::2], _take_last(p, slice(2, None, 2))),
+        )
+        ef = jnp.concatenate([f[..., :1], pf], axis=-1)
+        ep = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[..., :1], b], axis=-1), p, pp
         )
     else:
-        zm = mont.select(vm, mont.one(f, vm.shape), mont.zeros(f, vm.shape))
-        acc, m = Jac(xm, ym, zm), 1
-    # remaining levels: complete Jacobian pairwise tree (log2(cap)-1 adds)
-    while m > 1:
-        m //= 2
-        lhs = Jac(acc.x[:, :, :m], acc.y[:, :, :m], acc.z[:, :, :m])
-        rhs = Jac(acc.x[:, :, m:2 * m], acc.y[:, :, m:2 * m], acc.z[:, :, m:2 * m])
-        acc = jac_add(cs, lhs, rhs)
-    buckets = Jac(acc.x[:, 1:, 0], acc.y[:, 1:, 0], acc.z[:, 1:, 0])
-    return buckets, n_over
+        ef = f[..., :1]
+        ep = _take_last(p, slice(0, 1))
+    return _interleave_last(ef, sf), _interleave_last(ep, sp)
 
 
-def _small_window_sum(cs: CurveSpec, points: Affine, digit: jax.Array,
-                      m_bits: int) -> Jac:
-    """Σ dᵢ·Pᵢ for small non-negative digits d ∈ [0, 2^m_bits].
+def _seg_op(ops: _PointOps):
+    def op(l, r):
+        fl, pl = l
+        fr_, pr = r
+        s = ops.add(pl, pr)
+        return jnp.logical_or(fl, fr_), ops.select(fr_, pr, s)
+    return op
 
-    The TOP Pippenger window of a b-bit scalar has only b mod c live bits
-    (the reference's lastC handling, multiexp.go:681-693); its buckets are
-    ~2^(c-1-m) times overloaded, which would blow any bucket capacity sized
-    for the uniform windows (this was the round-1 bench failure).  Instead of
-    bucket scatter, decompose over bit planes:
 
-        Σᵢ dᵢ·Pᵢ = Σ_j 2^j · (Σ_{i: bit j of dᵢ} Pᵢ)
+def _window_bucket_sums(
+    ops: _PointOps, points, digit: jax.Array, n_buckets: int, chunk: int
+):
+    """Exact per-bucket sums for one window — any digit distribution.
 
-    — each inner sum a validity-masked pairwise tree (affine first level,
-    complete Jacobian above), all planes batched in one pass."""
-    f = cs.fp
+    digit: (n,) int32 in [-n_buckets, n_buckets].  Returns Jac-tree with batch
+    (n_buckets,) = [Σ points with |digit| == b] for b = 1..n_buckets (bucket
+    b empty -> infinity).  n must be a power of two (callers pad)."""
     n = digit.shape[0]
-    nb = m_bits + 1  # d can equal 2^m_bits (carry in), needing bit m_bits
-    np2 = max(2, _ceil_pow2(n))
-    bits = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 0)
-    masks = ((digit[None, :] >> bits) & 1) == 1  # (nb, n)
-    x = jnp.broadcast_to(points.x[:, None, :], (f.n_limbs, nb, n))
-    y = jnp.broadcast_to(points.y[:, None, :], (f.n_limbs, nb, n))
-    if np2 != n:
-        pad = np2 - n
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
-        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)))
-        masks = jnp.pad(masks, ((0, 0), (0, pad)))
-    m = np2 // 2
-    acc = _affine_pair_add(
-        cs,
-        x[:, :, :m], y[:, :, :m], masks[:, :m],
-        x[:, :, m:], y[:, :, m:], masks[:, m:],
+    chunk = min(chunk, n)
+    K = n // chunk
+    absd = jnp.abs(digit)
+    sign = digit < 0
+
+    order = jnp.argsort(absd)
+    sorted_b = absd[order]
+    # segment starts / per-bucket end positions in the sorted run
+    flags = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_b[1:] != sorted_b[:-1]]
     )
-    while m > 1:
-        m //= 2
-        acc = jac_add(
-            cs,
-            Jac(acc.x[:, :, :m], acc.y[:, :, :m], acc.z[:, :, :m]),
-            Jac(acc.x[:, :, m:2 * m], acc.y[:, :, m:2 * m], acc.z[:, :, m:2 * m]),
+    counts = jnp.bincount(absd, length=n_buckets + 1)
+    ends = jnp.cumsum(counts) - 1          # end index of bucket b (if nonempty)
+
+    xs = points.x[:, order]
+    y_signed = ops.fselect(sign, ops.fneg(points.y), points.y)
+    ys = y_signed[:, order]
+    valid = sorted_b > 0
+
+    op = _seg_op(ops)
+
+    def body(carry, inputs):
+        x_c, y_c, f_c, v_c = inputs
+        # z = 1 for live points, 0 (infinity) for digit-0 entries
+        z_c = ops.fselect(v_c, ops.fone(v_c.shape), ops.fzeros(v_c.shape))
+        p_c = ops.jac(x_c, y_c, z_c)
+        # merge the carried partial sum into element 0 when its segment
+        # continues from the previous chunk; then element 0 always "starts"
+        head0 = _take_last(p_c, slice(0, 1))
+        merged0 = ops.add(carry, head0)
+        cont = jnp.logical_not(f_c[:1])
+        head = ops.select(cont, merged0, head0)
+        p_c = jax.tree.map(
+            lambda h, rest: jnp.concatenate([h, rest[..., 1:]], axis=-1),
+            head, p_c,
         )
-    planes = Jac(acc.x[:, :, 0], acc.y[:, :, 0], acc.z[:, :, 0])  # batch (nb,)
-    out = Jac(planes.x[:, nb - 1], planes.y[:, nb - 1], planes.z[:, nb - 1])
-    for j in range(nb - 2, -1, -1):
-        out = jac_double(cs, out)
-        out = jac_add(cs, out, Jac(planes.x[:, j], planes.y[:, j], planes.z[:, j]))
-    return out
+        f_local = jnp.concatenate([jnp.ones((1,), bool), f_c[1:]])
+        _, scan_p = _segscan(op, f_local, p_c)
+        new_carry = _take_last(scan_p, slice(-1, None))
+        return new_carry, scan_p
+
+    inputs = (
+        xs.reshape(ops.L, K, chunk).swapaxes(0, 1),
+        ys.reshape(ops.L, K, chunk).swapaxes(0, 1),
+        flags.reshape(K, chunk),
+        valid.reshape(K, chunk),
+    )
+    carry0 = ops.inf((1,))
+    _, scans = jax.lax.scan(body, carry0, inputs)
+    # scans leaves: (K, L, chunk) -> (L, n) inclusive segmented scan values
+    full = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 0, 1).reshape(ops.L, n), scans
+    )
+    # bucket b's sum sits at sorted position ends[b] (when counts[b] > 0)
+    e = jnp.clip(ends[1:], 0, n - 1)
+    sums = _take_last(full, e)             # (L, n_buckets)
+    empty = counts[1:] == 0
+    return ops.select(empty, ops.inf((n_buckets,)), sums)
 
 
-def _all_window_buckets(cs, points, digits, n_buckets, cap):
-    """lax.scan over windows -> stacked buckets (W, n_limbs, nb) x 3."""
+def _all_window_buckets(ops: _PointOps, points, digits, n_buckets, chunk):
+    """lax.scan over windows -> stacked buckets (L, W, nb) Jac tree."""
 
-    def body(over_acc, d):
-        buckets, n_over = _bucket_matrix_accumulate(cs, points, d, n_buckets, cap)
-        return over_acc + n_over, (buckets.x, buckets.y, buckets.z)
+    def body(_, d):
+        buckets = _window_bucket_sums(ops, points, d, n_buckets, chunk)
+        return 0, tuple(buckets)
 
-    over, (bx, by, bz) = jax.lax.scan(body, jnp.int32(0), digits)
-    return over, Jac(
-        jnp.moveaxis(bx, 0, 1), jnp.moveaxis(by, 0, 1), jnp.moveaxis(bz, 0, 1)
-    )  # (n_limbs, W, nb)
+    _, stacked = jax.lax.scan(body, 0, digits)
+    return ops.jac(*(jnp.moveaxis(a, 0, 1) for a in stacked))  # (L, W, nb)
 
 
-def _jac_sum_axis(cs: CurveSpec, p: Jac, axis: int) -> Jac:
+def _jac_sum_axis(ops: _PointOps, p, axis: int):
     """Pairwise tree fold of Jacobian points along one batch axis."""
-    m = p.x.shape[axis]
+    m = jax.tree.leaves(p)[0].shape[axis]
 
     def take(x, sl):
         idx = [slice(None)] * x.ndim
@@ -264,13 +258,12 @@ def _jac_sum_axis(cs: CurveSpec, p: Jac, axis: int) -> Jac:
 
     while m > 1:
         h = m // 2
-        merged = jac_add(
-            cs,
-            Jac(*(take(a, slice(0, h)) for a in p)),
-            Jac(*(take(a, slice(h, 2 * h)) for a in p)),
+        merged = ops.add(
+            ops.jac(*(take(a, slice(0, h)) for a in p)),
+            ops.jac(*(take(a, slice(h, 2 * h)) for a in p)),
         )
         if m % 2:
-            merged = Jac(*(
+            merged = ops.jac(*(
                 jnp.concatenate([ma, take(a, slice(m - 1, m))], axis=axis)
                 for ma, a in zip(merged, p)
             ))
@@ -278,10 +271,10 @@ def _jac_sum_axis(cs: CurveSpec, p: Jac, axis: int) -> Jac:
         else:
             m = h
         p = merged
-    return Jac(*(jnp.squeeze(take(a, slice(0, 1)), axis=axis) for a in p))
+    return ops.jac(*(jnp.squeeze(take(a, slice(0, 1)), axis=axis) for a in p))
 
 
-def _weighted_bucket_sums(cs: CurveSpec, buckets: Jac, block: int = 128) -> Jac:
+def _weighted_bucket_sums(ops: _PointOps, buckets, block: int = 128):
     """Σ_{b=1..nb} b * B_b for every window at once.
 
     The classic two-accumulator running sum (msmReduceChunkG1Affine,
@@ -296,22 +289,22 @@ def _weighted_bucket_sums(cs: CurveSpec, buckets: Jac, block: int = 128) -> Jac:
     weighted sum reuses the same two-accumulator trick over J chunks (fed
     highest-m first), and the factor G is log2(G) doublings.  Depth
     ~G+J+log2(G*J) instead of nb; compute unchanged (2 adds per bucket)."""
-    n_limbs, n_windows, nb = buckets.x.shape
+    L, n_windows, nb = jax.tree.leaves(buckets)[0].shape
     G = min(block, nb)
     assert nb % G == 0
     J = nb // G
     # within-chunk scan order: highest bucket of the chunk first, so that
     # B_{mG+i} accumulates coefficient i in the running total
     resh = jax.tree.map(
-        lambda a: jnp.flip(a.reshape(n_limbs, n_windows, J, G), axis=3), buckets
+        lambda a: jnp.flip(a.reshape(L, n_windows, J, G), axis=3), buckets
     )  # [..., m, s] = B_{mG + G - s}
-    xs = jax.tree.map(lambda a: jnp.moveaxis(a, 3, 0), resh)  # (G, nl, W, J)
-    init = (jac_inf(cs, (n_windows, J)), jac_inf(cs, (n_windows, J)))
+    xs = jax.tree.map(lambda a: jnp.moveaxis(a, 3, 0), resh)  # (G, L, W, J)
+    init = (ops.inf((n_windows, J)), ops.inf((n_windows, J)))
 
     def body(carry, b):
         running, total = carry
-        running = jac_add(cs, running, Jac(*b))
-        total = jac_add(cs, total, running)
+        running = ops.add(running, ops.jac(*b))
+        total = ops.add(total, running)
         return (running, total), None
 
     (c_chunks, s_chunks), _ = jax.lax.scan(body, init, tuple(xs))
@@ -319,104 +312,88 @@ def _weighted_bucket_sums(cs: CurveSpec, buckets: Jac, block: int = 128) -> Jac:
     # add-after-accumulate loop gives C_m exactly coefficient m
     cxs = jax.tree.map(
         lambda a: jnp.flip(jnp.moveaxis(a, 2, 0), axis=0), c_chunks
-    )  # (J, nl, W), highest chunk first
-    init2 = (jac_inf(cs, (n_windows,)), jac_inf(cs, (n_windows,)))
+    )  # (J, L, W), highest chunk first
+    init2 = (ops.inf((n_windows,)), ops.inf((n_windows,)))
 
     def body2(carry, c):
         running, total = carry
-        total = jac_add(cs, total, running)
-        running = jac_add(cs, running, Jac(*c))
+        total = ops.add(total, running)
+        running = ops.add(running, ops.jac(*c))
         return (running, total), None
 
     (_, t), _ = jax.lax.scan(body2, init2, tuple(cxs))
     for _ in range(G.bit_length() - 1):  # T *= G (G a power of two)
-        t = jac_double(cs, t)
-    s_total = _jac_sum_axis(cs, s_chunks, axis=2)  # Σ_j S_j, (nl, W)
-    return jac_add(cs, s_total, t)
+        t = ops.double(t)
+    s_total = _jac_sum_axis(ops, s_chunks, axis=2)  # Σ_j S_j, (L, W)
+    return ops.add(s_total, t)
 
 
-def _horner_windows(cs: CurveSpec, wsums: Jac, c: int) -> Jac:
+def _horner_windows(ops: _PointOps, wsums, c: int):
     """Σ_w 2^{cw} S_w via Horner from the top window (scan)."""
-    n_windows = wsums.x.shape[1]
     rev = jax.tree.map(lambda a: jnp.flip(jnp.moveaxis(a, 1, 0), axis=0), wsums)
-    top = Jac(rev.x[0], rev.y[0], rev.z[0])
+    top = ops.jac(*(a[0] for a in rev))
 
     def body(acc, w):
-        wx, wy, wz = w
         for _ in range(c):
-            acc = jac_double(cs, acc)
-        acc = jac_add(cs, acc, Jac(wx, wy, wz))
+            acc = ops.double(acc)
+        acc = ops.add(acc, ops.jac(*w))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, top, (rev.x[1:], rev.y[1:], rev.z[1:]))
+    acc, _ = jax.lax.scan(body, top, tuple(a[1:] for a in rev))
     return acc
 
 
-def window_sums(cs: CurveSpec, points: Affine, scalars: jax.Array,
-                c: int, cap: int):
-    """All per-window sums S_w (including the skewed top window).
+def _msm_core(ops: _PointOps, fr_bits: int, points, scalars: jax.Array,
+              c: int, chunk: int):
+    digits = signed_digits(fr_bits, c, scalars)
+    n_buckets = 1 << (c - 1)
+    buckets = _all_window_buckets(ops, points, digits, n_buckets, chunk)
+    wsums = _weighted_bucket_sums(ops, buckets)
+    return _horner_windows(ops, wsums, c)
 
-    Returns (overflow_count, Jac wsums with batch (n_windows,)).  The top
-    window of a b-bit scalar has only b mod c live bits (lastC,
-    multiexp.go:681-693); when it spans at most a quarter of the buckets it
-    is routed through the bit-plane path (_small_window_sum) instead of the
-    bucket matrix — its bucket loads are 2^(c-1-m) x the uniform windows',
-    which would force the shared static capacity sky-high (the round-1
-    failure mode: cap-doubling retry storm)."""
+
+def window_sums(cs: CurveSpec, points: Affine, scalars: jax.Array,
+                c: int, chunk: int = DEFAULT_CHUNK) -> Jac:
+    """All per-window sums S_w as a Jac with batch (n_windows,).
+
+    Exact for any scalar distribution (see _window_bucket_sums)."""
+    ops = _ops_for_curve(cs)
     digits = signed_digits(cs.fr.bits, c, scalars)
     n_buckets = 1 << (c - 1)
-    n_windows = digits.shape[0]
-    m_bits = cs.fr.bits - c * (n_windows - 1)
-    split_top = n_windows > 1 and m_bits <= c - 2
-    scan_digits = digits[:-1] if split_top else digits
-    over, buckets = _all_window_buckets(cs, points, scan_digits, n_buckets, cap)
-    wsums = _weighted_bucket_sums(cs, buckets)
-    if split_top:
-        top = _small_window_sum(cs, points, digits[-1], m_bits)
-        wsums = Jac(
-            jnp.concatenate([wsums.x, top.x[:, None]], axis=1),
-            jnp.concatenate([wsums.y, top.y[:, None]], axis=1),
-            jnp.concatenate([wsums.z, top.z[:, None]], axis=1),
-        )
-    return over, wsums
+    buckets = _all_window_buckets(ops, points, digits, n_buckets, chunk)
+    return _weighted_bucket_sums(ops, buckets)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def msm_jit(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int, cap: int):
-    """One fully-jitted MSM pass.  Returns (Jac result, total_overflow)."""
-    over, wsums = window_sums(cs, points, scalars, c, cap)
-    return _horner_windows(cs, wsums, c), over
+def msm_jit(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int,
+            chunk: int = DEFAULT_CHUNK) -> Jac:
+    """One fully-jitted MSM pass (exact, no retry; n a power of two)."""
+    ops = _ops_for_curve(cs)
+    return _msm_core(ops, cs.fr.bits, points, scalars, c, chunk)
 
 
-def pick_cap(n: int, c: int) -> int:
-    """Bucket capacity: >= 4x the mean load and >= 16.  At 4x the mean the
-    per-bucket overflow probability is a Chernoff tail exp(-mean*(4ln4-3))
-    ~ exp(-2.5*mean); summed over all (window, bucket) cells this is
-    negligible for mean >= 8, so the single-pass jitted MSM almost never
-    retries (2x was NOT enough: at n=2^18, c=14 the retry rate was ~50%)."""
-    n_buckets = 1 << (c - 1)
-    mean = max(1, -(-n // n_buckets))
-    cap = 1 << max(4, (4 * mean - 1).bit_length())
-    return min(cap, _ceil_pow2(n))
+def _pad_pow2(points, scalars):
+    """Pad the batch to a power of two with zero scalars (no-op points)."""
+    n = jax.tree.leaves(points)[0].shape[-1]
+    np2 = _ceil_pow2(max(n, 2))
+    if np2 == n:
+        return points, scalars, n
+    pad = np2 - n
+    points = jax.tree.map(lambda a: jnp.pad(a, ((0, 0), (0, pad))), points)
+    scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+    return points, scalars, n
 
 
-def msm(cs: CurveSpec, points: Affine, scalars: jax.Array, c: int | None = None) -> Jac:
+def msm(cs: CurveSpec, points: Affine, scalars: jax.Array,
+        c: int | None = None, chunk: int = DEFAULT_CHUNK) -> Jac:
     """MultiExp (multiexp.go:20 public API).  points: Affine SoA (n_limbs, N);
-    scalars: plain fr limb array (n_limbs, N).  Exact for any input via
-    overflow retry with doubled bucket capacity."""
+    scalars: plain fr limb array (n_limbs, N).  Exact for any input — the
+    segmented-scan bucket accumulation has no capacity to overflow."""
     n = points.x.shape[1]
     if c is None:
         c = default_window(n, cs.fr.bits)
-    cap = pick_cap(n, c)
-    while True:
-        result, n_over = msm_jit(cs, points, scalars, c, cap)
-        if int(n_over) == 0:
-            return result
-        cap = min(cap * 2, _ceil_pow2(n))
-        if cap >= _ceil_pow2(n):
-            result, n_over = msm_jit(cs, points, scalars, c, _ceil_pow2(n))
-            assert int(n_over) == 0
-            return result
+    points, scalars, _ = _pad_pow2(points, scalars)
+    return msm_jit(cs, Affine(*points), scalars, c, chunk)
 
 
 def _ceil_pow2(n: int) -> int:

@@ -18,7 +18,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..curves.point import Affine, Jac, jac_add, jac_double
 from ..curves.spec import CurveSpec
-from ..msm.msm import _horner_windows, window_sums
+from ..msm.msm import DEFAULT_CHUNK, _horner_windows, _ops_for_curve, window_sums
 
 
 def _fold_axis0(cs: CurveSpec, pts: Jac) -> Jac:
@@ -49,43 +49,36 @@ def msm_sharded(
     points: Affine,
     scalars: jax.Array,
     c: int = 12,
-    cap: int | None = None,
+    chunk: int = DEFAULT_CHUNK,
     axis: str = "data",
-):
+) -> Jac:
     """MSM with the point/scalar batch sharded along `axis` of `mesh`.
 
-    Returns a replicated Jac result (batch shape ()).  cap is the per-device
-    bucket capacity (see msm.msm for the overflow contract; here the caller
-    sizes it — local shard size bounds it)."""
+    Returns a replicated Jac result (batch shape ()).  Per-device bucket
+    accumulation is the exact segmented-scan path (msm.msm), so any scalar
+    distribution is handled without cross-chip coordination."""
     n = points.x.shape[1]
     n_dev = mesh.shape[axis]
     assert n % n_dev == 0
-    local_n = n // n_dev
-    if cap is None:
-        from ..msm.msm import pick_cap
-
-        cap = pick_cap(local_n, c)
-    cap = min(cap, 1 << max(0, (local_n - 1).bit_length()))
 
     def local_fn(px, py, s):
         pts = Affine(px, py)
-        over_total, ws = window_sums(cs, pts, s, c, cap)  # (n_limbs, n_windows)
+        ws = window_sums(cs, pts, s, c, chunk)  # (n_limbs, n_windows)
         # gather all devices' window sums; fold locally (identical everywhere)
         gx = jax.lax.all_gather(ws.x, axis, axis=1)  # (n_limbs, n_dev, n_windows)
         gy = jax.lax.all_gather(ws.y, axis, axis=1)
         gz = jax.lax.all_gather(ws.z, axis, axis=1)
-        over_all = jax.lax.psum(over_total, axis)
         folded = _fold_axis0(cs, Jac(gx, gy, gz))  # (n_limbs, n_windows)
-        acc = _horner_windows(cs, folded, c)
-        return acc.x, acc.y, acc.z, over_all
+        acc = _horner_windows(_ops_for_curve(cs), folded, c)
+        return acc.x, acc.y, acc.z
 
     sharded = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
         check_rep=False,
     )
     fn = jax.jit(sharded)
-    x, y, z, over = fn(points.x, points.y, scalars)
-    return Jac(x, y, z), over
+    x, y, z = fn(points.x, points.y, scalars)
+    return Jac(x, y, z)

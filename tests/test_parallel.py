@@ -34,8 +34,7 @@ def test_msm_sharded_matches_oracle():
     mesh = make_mesh(4)
     base = point.Affine(shard_batch(mesh, base.x), shard_batch(mesh, base.y))
     s = shard_batch(mesh, s)
-    got_jac, over = msm_sharded(cs, mesh, base, s, c=6)
-    assert int(over) == 0
+    got_jac = msm_sharded(cs, mesh, base, s, c=6)
     got = point.affine_to_ints(cs, point.jac_to_affine(cs, got_jac))
     want = cs.ref.msm(scalars, pts)
     assert got.item() == want
