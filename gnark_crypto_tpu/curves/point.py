@@ -330,15 +330,19 @@ def scalar_mul(cs: CurveSpec, base: Affine, scalars: jax.Array) -> Jac:
 
 
 def joint_scalar_mul(cs: CurveSpec, a1: Affine, a2: Affine,
-                     s1: jax.Array, s2: jax.Array) -> Jac:
+                     s1: jax.Array, s2: jax.Array,
+                     nbits: int | None = None) -> Jac:
     """[s1]a1 + [s2]a2 via Strauss-Shamir: one shared doubling chain, both
     points (and their sum) conditionally added per bit
-    (JointScalarMultiplication, g1.go:602).  Scalars are plain fr limb
-    arrays.  ~25% fewer ops than two independent ladders."""
+    (JointScalarMultiplication, g1.go:602).  Scalars are plain limb arrays
+    of at least ceil(nbits/16) limbs (default: full fr width).  ~25% fewer
+    ops than two independent ladders; GLV callers pass half-width nbits."""
     from ..fields.spec import LIMB_BITS
 
     fr = cs.fr
-    nbits = fr.n_limbs * LIMB_BITS
+    if nbits is None:
+        nbits = fr.n_limbs * LIMB_BITS
+    assert s1.shape[0] * LIMB_BITS >= nbits and s2.shape[0] * LIMB_BITS >= nbits
     limb_idx = np.array([(nbits - 1 - i) // LIMB_BITS for i in range(nbits)], np.int32)
     shift = np.array([(nbits - 1 - i) % LIMB_BITS for i in range(nbits)], np.int32)
 

@@ -151,9 +151,119 @@ def _g2_psi(st: PairingStack, q: AffineF, power: int) -> AffineF:
     return AffineF(x, y)
 
 
+@functools.cache
+def _bw6_params(st: PairingStack):
+    """Optimal-ate parameters for the BW6 2-dimensional Miller loop
+    (ecc/bw6-761/pairing.go:130 MillerLoop, Alg. 2 of eprint 2021/1359):
+
+      f_{a0 + lambda*a1, Q}  with  a0 = x0+1,
+      a1 = x0^3-x0^2-x0 (bw6-761) or x0^5-x0^4-x0 (bw6-633),
+
+    where lambda is the G2 eigenvalue of phi: (x,y) -> (omega*x, -y) and
+    omega is the Fp cube root of unity picked so that a0 + lambda*a1 = 0
+    mod r (verified on the host curve, fixing gnark's thirdRootOneG1
+    convention without transcribing the constant)."""
+    from ..curves.group import Group
+    from ..towers.host import HostCurve
+    from ..utils.glv import naf_decomposition
+
+    x0 = st.seed
+    a0 = x0 + 1
+    if st.name == "bw6_761":
+        a1 = x0**3 - x0**2 - x0
+    else:
+        a1 = x0**5 - x0**4 - x0
+    p, r = st.p, st.r
+    # the two primitive cube roots of unity in Fp
+    g = 2
+    while pow(g, (p - 1) // 3, p) == 1:
+        g += 1
+    w1 = pow(g, (p - 1) // 3, p)
+    w2 = w1 * w1 % p
+    lam = (-a0) * pow(a1, -1, r) % r
+    hc = HostCurve(st.host_tf, st.host_tf.embed(st.b_twist)
+                   if isinstance(st.b_twist, int) else st.b_twist)
+    gen = st.g2_gen
+    want = hc.mul(lam, gen)
+    omega = None
+    for w in (w1, w2):
+        cand = (gen[0] * w % p, (-gen[1]) % p)
+        if want == cand:
+            omega = w
+            break
+    assert omega is not None, f"{st.name}: bw6 eigenvalue convention not found"
+
+    def signed_naf(a: int):
+        if a >= 0:
+            return naf_decomposition(a)
+        return [-d for d in naf_decomposition(-a)]
+
+    d0, d1 = signed_naf(a0), signed_naf(a1)
+    L = max(len(d0), len(d1))
+    d0 = d0 + [0] * (L - len(d0))
+    d1 = d1 + [0] * (L - len(d1))
+    # ladder walks |a0 + lambda*a1|; when a1 < 0 negate both digit strings
+    # and conjugate f afterwards (f_{-m} ~ conj(f_m) post-final-exp, the
+    # reference's trailing Conjugate for "negative x0",
+    # ecc/bw6-633/pairing.go MillerLoop tail)
+    flip = d1[-1] == -1
+    if flip:
+        d0 = [-x for x in d0]
+        d1 = [-x for x in d1]
+    assert d1[-1] == 1 and d0[-1] == 0, "expected a1 MSB to lead the ladder"
+    return omega, flip, np.array(d0[:-1], np.int32), np.array(d1[:-1], np.int32)
+
+
+def _miller_loop_bw6(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:
+    """BW6 optimal 2-loop Miller: joint ladder over q1 = phi(Q) = (omega x,
+    -y) and q0 = Q driven by the NAF digits of (a1, a0) — value-identical to
+    the reference's LoopCounter/LoopCounter1 walk (any signed-digit chain of
+    the same (a0, a1) yields the same post-final-exp GT)."""
+    K, tf, fp = st.full, st.tf, st.fp
+    xp, yp = p.x, p.y
+    batch = xp.shape[1:]
+    omega, flip, d0, d1 = _bw6_params(st)
+
+    w = tf.const(omega, batch)
+    q1 = AffineF(tf.mul(q.x, w), tf.neg(q.y))
+    f0 = K.one(batch)
+    t0 = G2Proj(q1.x, q1.y, tf.one(batch))
+
+    def body(carry, digs):
+        dig0, dig1 = digs
+        f, t = carry
+        f = K.square(f)
+        t, line = _double_step(st, t, xp, yp)
+        f = K.mul(f, line)
+        for dig, qq in ((dig1, q1), (dig0, q)):
+            qa = AffineF(qq.x, tf.select(
+                jnp.broadcast_to(dig < 0, batch), tf.neg(qq.y), qq.y))
+            t_add, line_add = _add_step(st, t, qa, xp, yp)
+            mask = jnp.broadcast_to(dig != 0, batch)
+            f = K.select(mask, K.mul(f, line_add), f)
+            t = G2Proj(
+                tf.select(mask, t_add.x, t.x),
+                tf.select(mask, t_add.y, t.y),
+                tf.select(mask, t_add.z, t.z),
+            )
+        return (f, t), None
+
+    digs = (jnp.asarray(d0[::-1].copy()), jnp.asarray(d1[::-1].copy()))
+    (f, _), _ = jax.lax.scan(body, (f0, t0), digs)
+    if flip:
+        f = K.conj(f)
+
+    p_inf = jnp.logical_and(fp.is_zero(xp), fp.is_zero(yp))
+    q_inf = jnp.logical_and(tf.is_zero(q.x), tf.is_zero(q.y))
+    inf = jnp.logical_or(p_inf, q_inf)
+    return K.select(inf, K.one(batch), f)
+
+
 def miller_loop(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:
     """Batched Miller loop f_{m,Q}(P); m per family (see module docstring).
     p: G1 affine (Fp coords); q: twist affine (tf coords)."""
+    if st.family == "bw6":
+        return _miller_loop_bw6(st, p, q)
     K, tf, fp = st.full, st.tf, st.fp
     xp, yp = p.x, p.y
     batch = xp.shape[1:]

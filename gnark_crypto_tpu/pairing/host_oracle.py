@@ -90,6 +90,8 @@ class GenericAteOracle:
         st = self.st
         P12 = (f.embed(P[0]), f.embed(P[1]))
         Qu = self.untwist(Q)
+        if st.family == "bw6":
+            return self._miller_loop_bw6(P12, Q, Qu)
         T = Qu
         m = st.loop_const
         acc = f.one()
@@ -113,13 +115,39 @@ class GenericAteOracle:
             acc = f.conj(acc)
         return acc
 
+    def _miller_loop_bw6(self, P12, Q, Qu):
+        """BW6 optimal 2-loop (same joint NAF ladder as ate.py
+        _miller_loop_bw6, on the untwisted curve)."""
+        from .ate import _bw6_params
+
+        f = self.K
+        st = self.st
+        omega, flip, d0, d1 = _bw6_params(st)
+        q1_t = (Q[0] * omega % st.p, (-Q[1]) % st.p)
+        Q1u = self.untwist(q1_t)
+        neg = lambda A: (A[0], f.neg(A[1]))
+        T = Q1u
+        acc = f.one()
+        for i in range(len(d0) - 1, -1, -1):
+            acc = f.square(acc)
+            acc = f.mul(acc, self._line(T, T, P12))
+            T = self._add(T, T)
+            for dig, base_pt in ((int(d1[i]), Q1u), (int(d0[i]), Qu)):
+                if dig == 0:
+                    continue
+                A = base_pt if dig > 0 else neg(base_pt)
+                acc = f.mul(acc, self._line(T, A, P12))
+                T = self._add(T, A)
+        return f.conj(acc) if flip else acc
+
     @functools.cached_property
     def final_exp_exponent(self) -> int:
         """(p^k - 1)/r times the family hard-part multiple, matching the
         reference's FinalExponentiation output exactly: the bn ladder
         (pairing.go:78, eprint 2015/192) exponentiates by an extra
         2x0(6x0^2+3x0+1); the bls12/bls24 HHT ladders (eprint 2020/875) by an
-        extra 3; bw6 is the plain exponent here (see ate.py docstring)."""
+        extra 3; bw6 by the El Housni-Guillevic cofactor s (x0+1 for bw6-761,
+        x0^5-x0^4-x0 with x0=|seed| for bw6-633; ecc/bw6-761/pairing.go:58)."""
         st = self.st
         base = (st.p ** st.embedding_degree - 1) // st.r
         if st.family == "bn":
@@ -127,7 +155,9 @@ class GenericAteOracle:
             return base * (2 * x0 * (6 * x0 * x0 + 3 * x0 + 1))
         if st.family in ("bls12", "bls24"):
             return base * 3
-        return base
+        u = abs(st.seed)
+        s = (u + 1) if st.name == "bw6_761" else (u**5 - u**4 - u)
+        return base * s
 
     def final_exp(self, x):
         return self.K.pow(x, self.final_exp_exponent)

@@ -37,6 +37,16 @@ def test_cyclotomic_square_matches_pow2(name):
     assert st.host_full.eq(got, want)
 
 
+def _family_multiple(st):
+    if st.family == "bn":
+        return 2 * st.seed * (6 * st.seed**2 + 3 * st.seed + 1)
+    if st.family in ("bls12", "bls24"):
+        return 3
+    # bw6: El Housni-Guillevic cofactor (ecc/bw6-761/pairing.go:58)
+    u = abs(st.seed)
+    return (u + 1) if st.name == "bw6_761" else (u**5 - u**4 - u)
+
+
 @pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377", "bls24_315"])
 def test_hard_part_ladder_exponent(name):
     st = stack(name)
@@ -44,7 +54,18 @@ def test_hard_part_ladder_exponent(name):
     z_host = _cyclotomic_sample(st, 7)
     z = K.from_ints([z_host])
     got = K.to_ints(jax.jit(lambda a: cyc.hard_part(st, a))(z))[0]
-    c = {"bn": 2 * st.seed * (6 * st.seed**2 + 3 * st.seed + 1),
-         "bls12": 3, "bls24": 3}.get(st.family, 1)
-    want = st.host_full.pow(z_host, c * (_phi_k(st) // st.r))
+    want = st.host_full.pow(z_host, _family_multiple(st) * (_phi_k(st) // st.r))
+    assert st.host_full.eq(got, want)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["bw6_633"])
+def test_hard_part_bw6_exponent(name):
+    """bw6 hard part must be the exact gnark exponent s * Phi_6(p)/r."""
+    st = stack(name)
+    K = st.full
+    z_host = _cyclotomic_sample(st, 9)
+    z = K.from_ints([z_host])
+    got = K.to_ints(jax.jit(lambda a: cyc.hard_part(st, a))(z))[0]
+    want = st.host_full.pow(z_host, _family_multiple(st) * (_phi_k(st) // st.r))
     assert st.host_full.eq(got, want)
