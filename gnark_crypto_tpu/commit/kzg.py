@@ -256,11 +256,12 @@ def batch_open_single_point(cs: CurveSpec, pk: ProvingKey, polys, a: int,
     return BatchOpeningProof(h=_to_host_point(cs, h), claimed_values=ys)
 
 
-def batch_verify_single_point(tw, cs: CurveSpec, vk: VerifyingKey, digests,
-                              proof: BatchOpeningProof, a: int) -> bool:
-    """BatchVerifySinglePoint (kzg.go:385): fold digests/values with the same
-    gamma, then the standard check."""
+def fold_proof(cs: CurveSpec, digests, proof: BatchOpeningProof, a: int):
+    """FoldProof (kzg.go:341): fold a batch proof and its digests into one
+    (OpeningProof, folded_digest) pair — the verifier-side fold with no
+    pairing work."""
     r = cs.fr.modulus
+    assert len(digests) == len(proof.claimed_values)
     gamma = derive_gamma(a, digests, proof.claimed_values, r)
     acc = None
     y_fold = 0
@@ -269,5 +270,56 @@ def batch_verify_single_point(tw, cs: CurveSpec, vk: VerifyingKey, digests,
         acc = cs.ref.add(acc, cs.ref.mul(g, d))
         y_fold = (y_fold + g * y) % r
         g = g * gamma % r
-    folded_proof = OpeningProof(h=proof.h, claimed_value=y_fold)
-    return verify(tw, cs, vk, acc, folded_proof, a)
+    return OpeningProof(h=proof.h, claimed_value=y_fold), acc
+
+
+def batch_verify_single_point(tw, cs: CurveSpec, vk: VerifyingKey, digests,
+                              proof: BatchOpeningProof, a: int) -> bool:
+    """BatchVerifySinglePoint (kzg.go:385): FoldProof then the standard
+    check."""
+    folded_proof, folded_digest = fold_proof(cs, digests, proof, a)
+    return verify(tw, cs, vk, folded_digest, folded_proof, a)
+
+
+def batch_verify_multi_points(tw, cs: CurveSpec, vk: VerifyingKey, digests,
+                              proofs, points, rng=None) -> bool:
+    """BatchVerifyMultiPoints (kzg.go:405): one pairing for many opening
+    proofs at different points via a random linear combination:
+
+      e(sum_i l_i (C_i - y_i G1 + a_i H_i), G2) . e(-sum_i l_i H_i, [tau]G2) == 1
+    """
+    import numpy as _np
+
+    assert len(digests) == len(proofs) == len(points)
+    if len(digests) == 1:
+        return verify(tw, cs, vk, digests[0], proofs[0], points[0])
+    r = cs.fr.modulus
+    if rng is None:
+        rng = _np.random.default_rng()
+    lambdas = [1] + [
+        int.from_bytes(rng.bytes(2 * cs.fr.n_limbs), "big") % r
+        for _ in range(len(digests) - 1)
+    ]
+    ref = cs.ref
+    folded_quotients = None
+    folded_digests = None
+    y_fold = 0
+    folded_pts_quot = None
+    for lam, d, pr, a in zip(lambdas, digests, proofs, points):
+        folded_quotients = ref.add(folded_quotients, ref.mul(lam, pr.h))
+        folded_digests = ref.add(folded_digests, ref.mul(lam, d))
+        y_fold = (y_fold + lam * pr.claimed_value) % r
+        folded_pts_quot = ref.add(
+            folded_pts_quot, ref.mul(lam * (a % r) % r, pr.h)
+        )
+    folded_digests = ref.add(
+        folded_digests, ref.mul((-y_fold) % r, vk.g1)
+    )
+    folded_digests = ref.add(folded_digests, folded_pts_quot)
+    folded_quotients = None if folded_quotients is None else (
+        folded_quotients[0], (cs.fp.modulus - folded_quotients[1]) % cs.fp.modulus
+    )
+    g2, tau_g2 = vk.g2
+    return _device_pairing_check(
+        tw, cs, [folded_digests, folded_quotients], [g2, tau_g2]
+    )

@@ -197,15 +197,25 @@ def _window_bucket_sums(
 
     op = _seg_op(ops)
 
-    def body(carry, inputs):
-        x_c, y_c, f_c, v_c = inputs
+    # NB the chunk loop slices (L, n) arrays and writes an (L, n) output via
+    # dynamic-update-slice instead of lax.scan input/output stacking: the
+    # stacked (K, L, chunk) form makes XLA put the small L axis in the
+    # 128-lane tile slot (8x HBM padding — an OOM at 2^24, 28G for 6G of
+    # temps).  Lanes stay on the large trailing axis throughout.
+    def body(carry, i):
+        carry_p, out = carry
+        start = i * chunk
+        x_c = jax.lax.dynamic_slice_in_dim(xs, start, chunk, axis=1)
+        y_c = jax.lax.dynamic_slice_in_dim(ys, start, chunk, axis=1)
+        f_c = jax.lax.dynamic_slice_in_dim(flags, start, chunk, axis=0)
+        v_c = jax.lax.dynamic_slice_in_dim(valid, start, chunk, axis=0)
         # z = 1 for live points, 0 (infinity) for digit-0 entries
         z_c = ops.fselect(v_c, ops.fone(v_c.shape), ops.fzeros(v_c.shape))
         p_c = ops.jac(x_c, y_c, z_c)
         # merge the carried partial sum into element 0 when its segment
         # continues from the previous chunk; then element 0 always "starts"
         head0 = _take_last(p_c, slice(0, 1))
-        merged0 = ops.add(carry, head0)
+        merged0 = ops.add(carry_p, head0)
         cont = jnp.logical_not(f_c[:1])
         head = ops.select(cont, merged0, head0)
         p_c = jax.tree.map(
@@ -215,20 +225,17 @@ def _window_bucket_sums(
         f_local = jnp.concatenate([jnp.ones((1,), bool), f_c[1:]])
         _, scan_p = _segscan(op, f_local, p_c)
         new_carry = _take_last(scan_p, slice(-1, None))
-        return new_carry, scan_p
+        out = jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_slice_in_dim(
+                buf, v, start, axis=1),
+            out, scan_p,
+        )
+        return (new_carry, out), None
 
-    inputs = (
-        xs.reshape(ops.L, K, chunk).swapaxes(0, 1),
-        ys.reshape(ops.L, K, chunk).swapaxes(0, 1),
-        flags.reshape(K, chunk),
-        valid.reshape(K, chunk),
-    )
     carry0 = ops.inf((1,))
-    _, scans = jax.lax.scan(body, carry0, inputs)
-    # scans leaves: (K, L, chunk) -> (L, n) inclusive segmented scan values
-    full = jax.tree.map(
-        lambda a: jnp.moveaxis(a, 0, 1).reshape(ops.L, n), scans
-    )
+    out0 = ops.jac(*(jnp.zeros((ops.L, n), jnp.uint32) for _ in range(3)))
+    (_, full), _ = jax.lax.scan(
+        body, (carry0, out0), jnp.arange(K, dtype=jnp.int32))
     # bucket b's sum sits at sorted position ends[b] (when counts[b] > 0)
     e = jnp.clip(ends[1:], 0, n - 1)
     sums = _take_last(full, e)             # (L, n_buckets)
@@ -237,14 +244,29 @@ def _window_bucket_sums(
 
 
 def _all_window_buckets(ops: _PointOps, points, digits, n_buckets, chunk):
-    """lax.scan over windows -> stacked buckets (L, W, nb) Jac tree."""
+    """Loop over windows -> buckets (L, W, nb) Jac tree.
 
-    def body(_, d):
+    Output accumulates via dynamic-update-slice into an (L, W, nb) buffer
+    (lanes on nb) rather than lax.scan ys-stacking, for the same layout
+    reason as _window_bucket_sums' chunk loop."""
+    W = digits.shape[0]
+
+    def body(carry, i):
+        out = carry
+        d = jax.lax.dynamic_index_in_dim(digits, i, axis=0, keepdims=False)
         buckets = _window_bucket_sums(ops, points, d, n_buckets, chunk)
-        return 0, tuple(buckets)
+        out = jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_slice_in_dim(
+                buf, v[:, None, :], i, axis=1),
+            out, buckets,
+        )
+        return out, None
 
-    _, stacked = jax.lax.scan(body, 0, digits)
-    return ops.jac(*(jnp.moveaxis(a, 0, 1) for a in stacked))  # (L, W, nb)
+    out0 = ops.jac(*(
+        jnp.zeros((ops.L, W, n_buckets), jnp.uint32) for _ in range(3)
+    ))
+    out, _ = jax.lax.scan(body, out0, jnp.arange(W, dtype=jnp.int32))
+    return out  # (L, W, nb)
 
 
 def _jac_sum_axis(ops: _PointOps, p, axis: int):
@@ -297,31 +319,37 @@ def _weighted_bucket_sums(ops: _PointOps, buckets, block: int = 128):
     # B_{mG+i} accumulates coefficient i in the running total
     resh = jax.tree.map(
         lambda a: jnp.flip(a.reshape(L, n_windows, J, G), axis=3), buckets
-    )  # [..., m, s] = B_{mG + G - s}
-    xs = jax.tree.map(lambda a: jnp.moveaxis(a, 3, 0), resh)  # (G, L, W, J)
+    )  # [..., m, s] = B_{mG + G - s}; lanes stay on the trailing axes
     init = (ops.inf((n_windows, J)), ops.inf((n_windows, J)))
 
-    def body(carry, b):
+    def body(carry, i):
         running, total = carry
-        running = ops.add(running, ops.jac(*b))
+        b = ops.jac(*(
+            jax.lax.dynamic_index_in_dim(a, i, axis=3, keepdims=False)
+            for a in resh
+        ))
+        running = ops.add(running, b)
         total = ops.add(total, running)
         return (running, total), None
 
-    (c_chunks, s_chunks), _ = jax.lax.scan(body, init, tuple(xs))
+    (c_chunks, s_chunks), _ = jax.lax.scan(
+        body, init, jnp.arange(G, dtype=jnp.int32))
     # cross-chunk: T = Σ_m m * C_m; feeding m = J-1 .. 0 into the
     # add-after-accumulate loop gives C_m exactly coefficient m
-    cxs = jax.tree.map(
-        lambda a: jnp.flip(jnp.moveaxis(a, 2, 0), axis=0), c_chunks
-    )  # (J, L, W), highest chunk first
+    cxs = jax.tree.map(lambda a: jnp.flip(a, axis=2), c_chunks)  # (L, W, J)
     init2 = (ops.inf((n_windows,)), ops.inf((n_windows,)))
 
-    def body2(carry, c):
+    def body2(carry, i):
         running, total = carry
+        c = ops.jac(*(
+            jax.lax.dynamic_index_in_dim(a, i, axis=2, keepdims=False)
+            for a in cxs
+        ))
         total = ops.add(total, running)
-        running = ops.add(running, ops.jac(*c))
+        running = ops.add(running, c)
         return (running, total), None
 
-    (_, t), _ = jax.lax.scan(body2, init2, tuple(cxs))
+    (_, t), _ = jax.lax.scan(body2, init2, jnp.arange(J, dtype=jnp.int32))
     for _ in range(G.bit_length() - 1):  # T *= G (G a power of two)
         t = ops.double(t)
     s_total = _jac_sum_axis(ops, s_chunks, axis=2)  # Σ_j S_j, (L, W)

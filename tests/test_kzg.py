@@ -76,3 +76,28 @@ def test_batch_open_verify(setup):
         + proof.claimed_values[1:],
     )
     assert not kzg.batch_verify_single_point(tw, cs, srs.vk, digests, bad, a)
+
+
+def test_fold_proof_and_multi_points(setup):
+    """FoldProof (kzg.go:341) + BatchVerifyMultiPoints (kzg.go:405)."""
+    cs, tw, srs = setup
+    polys = [rand_poly(cs, 16, s)[1] for s in (10, 11)]
+    digests = [kzg._to_host_point(cs, kzg.commit(cs, srs.pk, p)) for p in polys]
+    a = 555
+    bproof = kzg.batch_open_single_point(cs, srs.pk, polys, a, digests)
+    folded_proof, folded_digest = kzg.fold_proof(cs, digests, bproof, a)
+    assert kzg.verify(tw, cs, srs.vk, folded_digest, folded_proof, a)
+
+    # multi-point: independent openings at different points, one pairing
+    pts = [77, 99]
+    proofs = [kzg.open_(cs, srs.pk, p, x) for p, x in zip(polys, pts)]
+    rng = np.random.default_rng(3)
+    ok = kzg.batch_verify_multi_points(tw, cs, srs.vk, digests, proofs, pts, rng)
+    assert ok
+    bad = kzg.OpeningProof(
+        h=proofs[1].h,
+        claimed_value=(proofs[1].claimed_value + 1) % cs.fr.modulus,
+    )
+    rng = np.random.default_rng(3)
+    assert not kzg.batch_verify_multi_points(
+        tw, cs, srs.vk, digests, [proofs[0], bad], pts, rng)
