@@ -128,10 +128,13 @@ def bench_ntt(log2n):
     d = Domain(spec, n, with_coset_tables=False)
     rng = np.random.default_rng(1)
     a = jax.numpy.asarray(_uniform_scalars_fast(spec, n, rng))
-    f = jax.jit(lambda x: ntt(d, x))
-    _sync(f(a))
+    # Domain is a pytree: twiddle tables enter as runtime ARGUMENTS (at 2^24
+    # closure-captured tables embedded ~0.5 GB of HLO constants -> HTTP 413
+    # at remote compile, the r03 bench-killer).
+    f = jax.jit(ntt)
+    _sync(f(d, a))
     t0 = time.perf_counter()
-    _sync(f(a))
+    _sync(f(d, a))
     return time.perf_counter() - t0
 
 
@@ -177,51 +180,60 @@ def bench_msm(log2n):
     return n / dt, dt
 
 
+def _stage(extras, key, min_left, fn):
+    """Run one bench stage with its own try/except — NO stage may kill the
+    round (three rounds died to a single uncaught stage error, VERDICT r03).
+    Returns fn() result or None."""
+    if _left() <= min_left:
+        extras[f"{key}_skipped"] = f"deadline ({_left():.0f}s left)"
+        _log(f"{key}: skipped, {_left():.0f}s left < {min_left}s")
+        return None
+    t0 = time.time()
+    try:
+        out = fn()
+        extras[f"stage_s_{key}"] = round(time.time() - t0, 1)
+        return out
+    except Exception as e:
+        extras[f"{key}_error"] = repr(e)[:300]
+        extras[f"stage_s_{key}"] = round(time.time() - t0, 1)
+        _log(f"{key} FAILED after {time.time() - t0:.0f}s: {e!r}")
+        return None
+
+
 def main():
     extras = {"backend": jax.default_backend(), "deadline_s": DEADLINE}
     _log(f"start, backend={jax.default_backend()}")
 
-    mul_rate = None
-    if _left() > 120:
-        t0 = time.time()
-        mul_rate = bench_field_mul()
+    # Stage order: flagship first (MSM is THE reference headline,
+    # multiexp_test.go:301), so a late-stage crash can never zero it out.
+    mul_rate = _stage(extras, "field_mul", 120, bench_field_mul)
+    if mul_rate is not None:
         extras["field_mul_per_sec_bn254_fr"] = round(mul_rate, 1)
-        extras["stage_s_field_mul"] = round(time.time() - t0, 1)
         _log(f"field_mul {mul_rate:.3e}/s")
 
-    if _left() > 180:
-        t0 = time.time()
-        ntt_time = bench_ntt(LOG2_NTT)
-        extras[f"ntt_2^{LOG2_NTT}_seconds_bn254_fr"] = round(ntt_time, 4)
-        extras["stage_s_ntt"] = round(time.time() - t0, 1)
-        _log(f"ntt 2^{LOG2_NTT} {ntt_time:.4f}s")
-
-    if _left() > 300:
-        t0 = time.time()
-        ntt_big = bench_ntt(LOG2_NTT_BIG)
-        extras[f"ntt_2^{LOG2_NTT_BIG}_seconds_bn254_fr"] = round(ntt_big, 4)
-        extras["stage_s_ntt_big"] = round(time.time() - t0, 1)
-        _log(f"ntt 2^{LOG2_NTT_BIG} {ntt_big:.4f}s")
-
     msm_pps, msm_time = None, None
-    if _left() > 300:
-        t0 = time.time()
-        msm_pps, msm_time = bench_msm(LOG2_N)
+    r = _stage(extras, "msm", 300, lambda: bench_msm(LOG2_N))
+    if r is not None:
+        msm_pps, msm_time = r
         extras[f"msm_2^{LOG2_N}_seconds"] = round(msm_time, 4)
-        extras["stage_s_msm"] = round(time.time() - t0, 1)
         _log(f"msm 2^{LOG2_N} {msm_pps:.3e} pts/s")
 
-    if _left() > 900:
-        try:
-            t0 = time.time()
-            big_pps, big_time = bench_msm(LOG2_N_BIG)
-            extras[f"msm_2^{LOG2_N_BIG}_points_per_sec"] = round(big_pps, 1)
-            extras[f"msm_2^{LOG2_N_BIG}_seconds"] = round(big_time, 4)
-            extras["stage_s_msm_big"] = round(time.time() - t0, 1)
-            _log(f"msm 2^{LOG2_N_BIG} {big_pps:.3e} pts/s")
-        except Exception as e:  # OOM etc: report what we have
-            extras["msm_big_error"] = repr(e)[:200]
-            _log(f"msm 2^{LOG2_N_BIG} failed: {e!r}")
+    r = _stage(extras, "msm_big", 600, lambda: bench_msm(LOG2_N_BIG))
+    if r is not None:
+        big_pps, big_time = r
+        extras[f"msm_2^{LOG2_N_BIG}_points_per_sec"] = round(big_pps, 1)
+        extras[f"msm_2^{LOG2_N_BIG}_seconds"] = round(big_time, 4)
+        _log(f"msm 2^{LOG2_N_BIG} {big_pps:.3e} pts/s")
+
+    r = _stage(extras, "ntt", 180, lambda: bench_ntt(LOG2_NTT))
+    if r is not None:
+        extras[f"ntt_2^{LOG2_NTT}_seconds_bn254_fr"] = round(r, 4)
+        _log(f"ntt 2^{LOG2_NTT} {r:.4f}s")
+
+    r = _stage(extras, "ntt_big", 300, lambda: bench_ntt(LOG2_NTT_BIG))
+    if r is not None:
+        extras[f"ntt_2^{LOG2_NTT_BIG}_seconds_bn254_fr"] = round(r, 4)
+        _log(f"ntt 2^{LOG2_NTT_BIG} {r:.4f}s")
 
     extras["bench_wall_seconds"] = round(time.time() - _T0, 1)
     if msm_pps is not None:
@@ -244,4 +256,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # last-ditch: ALWAYS emit the JSON line
+        print(json.dumps({
+            "metric": "bench_error", "value": 0.0, "unit": "none",
+            "vs_baseline": 0.0, "extras": {"error": repr(e)[:300]},
+        }))

@@ -287,17 +287,20 @@ def batch_verify_multi_points(tw, cs: CurveSpec, vk: VerifyingKey, digests,
     proofs at different points via a random linear combination:
 
       e(sum_i l_i (C_i - y_i G1 + a_i H_i), G2) . e(-sum_i l_i H_i, [tau]G2) == 1
+
+    The folding coefficients default to OS entropy (the reference draws them
+    from crypto/rand, kzg.go:418); pass an object with .bytes(n) (e.g. a
+    seeded np.random.Generator) only for deterministic tests.
     """
-    import numpy as _np
+    import secrets as _secrets
 
     assert len(digests) == len(proofs) == len(points)
     if len(digests) == 1:
         return verify(tw, cs, vk, digests[0], proofs[0], points[0])
     r = cs.fr.modulus
-    if rng is None:
-        rng = _np.random.default_rng()
+    draw = _secrets.token_bytes if rng is None else rng.bytes
     lambdas = [1] + [
-        int.from_bytes(rng.bytes(2 * cs.fr.n_limbs), "big") % r
+        int.from_bytes(draw(2 * cs.fr.n_limbs), "big") % r
         for _ in range(len(digests) - 1)
     ]
     ref = cs.ref

@@ -55,6 +55,8 @@ def g1_from_bytes(cs: CurveSpec, data: bytes, subgroup_check: bool = True):
         assert len(data) >= 2 * nb
         x = int.from_bytes(data[:nb], "big")
         y = int.from_bytes(data[nb : 2 * nb], "big")
+        if x >= p or y >= p:  # SetBytesCanonical: reject non-canonical limbs
+            raise ValueError("coordinate not a canonical field element")
         if x == 0 and y == 0:
             return None
         P = (x, y)
@@ -67,6 +69,8 @@ def g1_from_bytes(cs: CurveSpec, data: bytes, subgroup_check: bool = True):
         buf = bytearray(data[:nb])
         buf[0] &= ~M_MASK & 0xFF
         x = int.from_bytes(bytes(buf), "big")
+        if x >= p:
+            raise ValueError("coordinate not a canonical field element")
         y2 = (pow(x, 3, p) + cs.a * x + cs.b) % p
         y = pf.sqrt(y2)
         if y is None:
@@ -163,6 +167,8 @@ def g2_from_bytes(g, data: bytes, subgroup_check: bool = True):
         x0 = int.from_bytes(data[nb:2 * nb], "big")
         y1 = int.from_bytes(data[2 * nb:3 * nb], "big")
         y0 = int.from_bytes(data[3 * nb:4 * nb], "big")
+        if any(c >= p for c in (x0, x1, y0, y1)):  # SetBytesCanonical
+            raise ValueError("coordinate not a canonical field element")
         if x0 == x1 == y0 == y1 == 0:
             return None
         P = ((x0, x1), (y0, y1))
@@ -176,6 +182,8 @@ def g2_from_bytes(g, data: bytes, subgroup_check: bool = True):
         buf[0] &= ~M_MASK & 0xFF
         x1 = int.from_bytes(bytes(buf[:nb]), "big")
         x0 = int.from_bytes(bytes(buf[nb:]), "big")
+        if x0 >= p or x1 >= p:
+            raise ValueError("coordinate not a canonical field element")
         x = (x0, x1)
         y2 = h.add(h.mul(h.square(x), x), g._h(g.b))
         if not g.a_is_zero:

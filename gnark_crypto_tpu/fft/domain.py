@@ -11,6 +11,7 @@ TPU-native analogue of the reference's fft.Domain (ecc/bn254/fr/fft/domain.go:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..fields import mont
@@ -65,3 +66,34 @@ class Domain:
         else:
             self.coset_table = None
             self.coset_table_inv = None
+
+
+# Domain is a pytree: the twiddle/coset tables are LEAVES, so a jitted
+# function taking a Domain receives them as runtime arguments — never as
+# closure-captured HLO constants (at 2^24 the tables are ~0.5 GB; embedding
+# them in the program blew the remote-compile payload limit).  The scalar
+# fields are static aux data (hashable -> stable jit cache keys).
+_DOMAIN_LEAVES = ("twiddles", "twiddles_inv", "coset_table", "coset_table_inv")
+_DOMAIN_AUX = (
+    "spec", "cardinality", "log2n", "generator", "generator_inv",
+    "cardinality_inv", "fr_multiplicative_gen", "fr_multiplicative_gen_inv",
+)
+
+
+def _domain_flatten(d: "Domain"):
+    return (
+        tuple(getattr(d, k) for k in _DOMAIN_LEAVES),
+        tuple(getattr(d, k) for k in _DOMAIN_AUX),
+    )
+
+
+def _domain_unflatten(aux, leaves) -> "Domain":
+    d = object.__new__(Domain)
+    for k, v in zip(_DOMAIN_AUX, aux):
+        setattr(d, k, v)
+    for k, v in zip(_DOMAIN_LEAVES, leaves):
+        setattr(d, k, v)
+    return d
+
+
+jax.tree_util.register_pytree_node(Domain, _domain_flatten, _domain_unflatten)

@@ -36,10 +36,17 @@ def bit_reverse_indices(n: int) -> np.ndarray:
 def bit_reverse(a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Permute to bit-reversed order along one axis (BitReverse, bitreverse.go:17).
 
-    A gather is cheap on TPU; no COBRA-style cache blocking needed.
+    A gather is cheap on TPU; no COBRA-style cache blocking needed.  The index
+    vector is built from an on-device iota (not a host constant: at 2^24 a
+    materialized index array would embed 128 MB into the HLO payload).
     """
     n = a.shape[axis]
-    return jnp.take(a, jnp.asarray(bit_reverse_indices(n)), axis=axis)
+    log2n = n.bit_length() - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros_like(idx)
+    for b in range(log2n):
+        rev = rev | (((idx >> b) & 1) << (log2n - 1 - b))
+    return jnp.take(a, rev, axis=axis)
 
 
 def _dif_stage(spec, a, tw0, stage: int, log2n: int):

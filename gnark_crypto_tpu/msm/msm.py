@@ -177,6 +177,11 @@ def _window_bucket_sums(
     b empty -> infinity).  n must be a power of two (callers pad)."""
     n = digit.shape[0]
     chunk = min(chunk, n)
+    assert n & (n - 1) == 0, f"bucket accumulation needs power-of-two n, got {n}"
+    assert n % chunk == 0, (
+        f"n={n} not a multiple of chunk={chunk}: the scan would silently "
+        f"drop the tail (pad with zero scalars first)"
+    )
     K = n // chunk
     absd = jnp.abs(digit)
     sign = digit < 0
@@ -385,6 +390,8 @@ def window_sums(cs: CurveSpec, points: Affine, scalars: jax.Array,
     """All per-window sums S_w as a Jac with batch (n_windows,).
 
     Exact for any scalar distribution (see _window_bucket_sums)."""
+    points, scalars, _ = _pad_pow2(points, scalars)
+    points = Affine(*points)
     ops = _ops_for_curve(cs)
     digits = signed_digits(cs.fr.bits, c, scalars)
     n_buckets = 1 << (c - 1)

@@ -128,11 +128,13 @@ def hard_part(st, f):
         return _hard_bls24(st, f)
     # bw6: gnark exponentiates by s * Phi_6(p)/r with the El Housni-Guillevic
     # cofactor s (ecc/bw6-761/pairing.go:58-62: s = x0+1, Alg 4.4;
-    # ecc/bw6-633/pairing.go:51: s = x0^5-x0^4-x0 with x0 = |seed|, Alg 4.5).
+    # ecc/bw6-633/pairing.go:51: s = |x0^5-x0^4-x0| at the SIGNED seed
+    # x0 = -3218079743, Alg 4.5 — bw6-633.go:102 gives the positive value
+    # 345131030376204096837580131803633448876874137601 = u^5+u^4-u).
     # Same exponent as the reference's ladder -> GT bytes match gnark; the
     # seed-ladder schedule itself is a later speed optimization.
-    u = abs(st.seed)
-    s = (u + 1) if st.name == "bw6_761" else (u**5 - u**4 - u)
+    x0 = st.seed
+    s = abs(x0 + 1) if st.name == "bw6_761" else abs(x0**5 - x0**4 - x0)
     return pow_cyc(st, f, s * st.final_exp_hard)
 
 

@@ -146,8 +146,9 @@ class GenericAteOracle:
         reference's FinalExponentiation output exactly: the bn ladder
         (pairing.go:78, eprint 2015/192) exponentiates by an extra
         2x0(6x0^2+3x0+1); the bls12/bls24 HHT ladders (eprint 2020/875) by an
-        extra 3; bw6 by the El Housni-Guillevic cofactor s (x0+1 for bw6-761,
-        x0^5-x0^4-x0 with x0=|seed| for bw6-633; ecc/bw6-761/pairing.go:58)."""
+        extra 3; bw6 by the El Housni-Guillevic cofactor s (|x0+1| for
+        bw6-761, |x0^5-x0^4-x0| at the SIGNED seed x0 for bw6-633 —
+        ecc/bw6-633/bw6-633.go:102)."""
         st = self.st
         base = (st.p ** st.embedding_degree - 1) // st.r
         if st.family == "bn":
@@ -155,8 +156,8 @@ class GenericAteOracle:
             return base * (2 * x0 * (6 * x0 * x0 + 3 * x0 + 1))
         if st.family in ("bls12", "bls24"):
             return base * 3
-        u = abs(st.seed)
-        s = (u + 1) if st.name == "bw6_761" else (u**5 - u**4 - u)
+        x0 = st.seed
+        s = abs(x0 + 1) if st.name == "bw6_761" else abs(x0**5 - x0**4 - x0)
         return base * s
 
     def final_exp(self, x):

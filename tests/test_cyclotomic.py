@@ -42,9 +42,20 @@ def _family_multiple(st):
         return 2 * st.seed * (6 * st.seed**2 + 3 * st.seed + 1)
     if st.family in ("bls12", "bls24"):
         return 3
-    # bw6: El Housni-Guillevic cofactor (ecc/bw6-761/pairing.go:58)
-    u = abs(st.seed)
-    return (u + 1) if st.name == "bw6_761" else (u**5 - u**4 - u)
+    # bw6: El Housni-Guillevic cofactor at the SIGNED seed
+    # (ecc/bw6-761/pairing.go:58, ecc/bw6-633/bw6-633.go:102)
+    x0 = st.seed
+    return abs(x0 + 1) if st.name == "bw6_761" else abs(x0**5 - x0**4 - x0)
+
+
+def test_bw6_633_cofactor_pinned():
+    """Locks the sign convention: the bw6-633 hard-part cofactor must equal
+    the literal from ecc/bw6-633/bw6-633.go:102 (seed is NEGATIVE, so
+    |x0^5-x0^4-x0| = u^5+u^4-u with u=|x0|, not u^5-u^4-u)."""
+    st = stack("bw6_633")
+    assert st.seed == -3218079743
+    assert _family_multiple(st) == \
+        345131030376204096837580131803633448876874137601
 
 
 @pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377", "bls24_315"])
