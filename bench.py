@@ -121,20 +121,25 @@ def bench_field_mul():
 
 def bench_ntt(log2n):
     from gnark_crypto_tpu.fields import get_spec
-    from gnark_crypto_tpu.fft import Domain, ntt
+    from gnark_crypto_tpu.fft import Domain, fused_available, ntt, ntt_fused
 
     spec = get_spec("bn254_fr")
     n = 1 << log2n
     d = Domain(spec, n, with_coset_tables=False)
     rng = np.random.default_rng(1)
     a = jax.numpy.asarray(_uniform_scalars_fast(spec, n, rng))
-    # Domain is a pytree: twiddle tables enter as runtime ARGUMENTS (at 2^24
-    # closure-captured tables embedded ~0.5 GB of HLO constants -> HTTP 413
-    # at remote compile, the r03 bench-killer).
-    f = jax.jit(ntt)
-    _sync(f(d, a))
+    if fused_available(spec, n) and jax.default_backend() == "tpu":
+        # fused multi-stage Pallas passes (fft/pallas_ntt.py)
+        f = lambda x: ntt_fused(d, x)
+    else:
+        # Domain is a pytree: twiddle tables enter as runtime ARGUMENTS (at
+        # 2^24 closure-captured tables embedded ~0.5 GB of HLO constants ->
+        # HTTP 413 at remote compile, the r03 bench-killer).
+        jf = jax.jit(ntt)
+        f = lambda x: jf(d, x)
+    _sync(f(a))
     t0 = time.perf_counter()
-    _sync(f(d, a))
+    _sync(f(a))
     return time.perf_counter() - t0
 
 

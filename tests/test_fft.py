@@ -98,3 +98,25 @@ def test_bit_reverse():
     a = np.arange(8).reshape(1, 8)
     out = np.asarray(bit_reverse(a, axis=1))
     assert list(out[0]) == [0, 4, 2, 6, 1, 5, 3, 7]
+
+
+@pytest.mark.slow
+def test_ntt_fused_matches_xla_path():
+    """Fused Pallas passes (interpret mode = the purego analogue) must be
+    bit-identical to the stage-at-a-time XLA path at the minimum fused size."""
+    import jax
+
+    from gnark_crypto_tpu.fft import fused_available, ntt_fused
+
+    spec = get_spec("bn254_fr")
+    n = 1 << 14
+    assert fused_available(spec, n)
+    d = Domain(spec, n, with_coset_tables=False)
+    vals = rand_vals(spec, n, seed=3)
+    a = mont.from_ints(spec, vals)
+    want = np.asarray(jax.jit(ntt)(d, a))
+    got = np.asarray(ntt_fused(d, a, interpret=True))
+    assert (want == got).all()
+    back = np.asarray(ntt_fused(d, jax.numpy.asarray(got), inverse=True,
+                                interpret=True))
+    assert (back == np.asarray(a)).all()
