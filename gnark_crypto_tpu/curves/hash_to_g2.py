@@ -236,6 +236,82 @@ def map_to_curve_sswu_g2(curve_name: str, u) -> AffineF:
     return AffineF(X, Y)
 
 
+# SVDW constants for curves whose G2 suite is Shallue-van de Woestijne
+# (bn254: BN254G2_XMD:SHA-256_SVDW_; values are the canonical (non-Montgomery)
+# forms of the constants in ecc/bn254/hash_to_g2.go:28-48, re-verified at
+# import below: c1 = g(Z), c2 = -Z/2, c3 = sqrt(-g(Z)(3Z^2+4A)) with
+# sgn0(c3) = 0, c4 = -4g(Z)/(3Z^2+4A)).
+SVDW_G2 = {
+    "bn254": {
+        "Z": (1, 0),
+        "c1": (19485874751759354771024239261021720505790618469301721065564631296452457478374,
+               266929791119991161246907387137283842545076965332900288569378510910307636690),
+        "c2": (10944121435919637611123202872628637544348155578648911831344518947322613104291, 0),
+        "c3": (18992192239972082890849143911285057164064277369389217330423471574879236301292,
+               21819008332247140148575583693947636719449476128975323941588917397607662637108),
+        "c4": (10499238450719652342378357227399831140106360636427411350395554762472100376473,
+               6940174569119770192419592065569379906172001098655407502803841283667998553941),
+    },
+}
+
+
+@functools.cache
+def _svdw_suite_g2(curve_name: str):
+    """Verify the SVDW constants against their defining equations."""
+    st = stack(curve_name)
+    h = st.host_tf
+    s = SVDW_G2[curve_name]
+    Z, c1, c2, c3, c4 = (s[k] for k in ("Z", "c1", "c2", "c3", "c4"))
+    b = st.b_twist
+    g_z = h.add(h.mul(h.square(Z), Z), b)           # A = 0 on all our twists
+    assert h.eq(c1, g_z), "c1 != g(Z)"
+    assert h.eq(h.add(h.mul_small(c2, 2), Z), h.zero()), "c2 != -Z/2"
+    t = h.mul_small(h.square(Z), 3)                  # 3Z^2 + 4A, A = 0
+    assert h.eq(h.square(c3), h.neg(h.mul(g_z, t))), "c3^2 != -g(Z)(3Z^2+4A)"
+    assert h.eq(h.mul(c4, t), h.neg(h.mul_small(g_z, 4))), "c4 defn"
+    return Z, c1, c2, c3, c4
+
+
+def map_to_curve_svdw_g2(curve_name: str, u) -> AffineF:
+    """Batched Shallue-van de Woestijne map over the twist field
+    (MapToCurve2, ecc/bn254/hash_to_g2.go:16; RFC 9380 §6.6.1 straight
+    line with constant-time selects)."""
+    st = stack(curve_name)
+    F = st.tf
+    Z, c1, c2, c3, c4 = _svdw_suite_g2(curve_name)
+    batch = u.shape[1:]
+
+    def C(v):
+        return F.const(v, batch)
+
+    b = C(st.b_twist)
+    one = F.one(batch)
+    tv1 = F.mul(F.square(u), C(c1))          # u^2 c1
+    tv2 = F.add(one, tv1)                    # 1 + tv1
+    tv1 = F.sub(one, tv1)                    # 1 - tv1
+    tv3 = F.inverse(F.mul(tv1, tv2))         # inv0
+    tv4 = F.mul(F.mul(F.mul(u, tv1), tv3), C(c3))
+    x1 = F.sub(C(c2), tv4)
+    gx1 = F.add(F.mul(F.square(x1), x1), b)
+    x2 = F.add(C(c2), tv4)
+    gx2 = F.add(F.mul(F.square(x2), x2), b)
+    x3 = F.add(C(Z), F.mul(C(c4), F.square(F.mul(F.square(tv2), tv3))))
+    gx3 = F.add(F.mul(F.square(x3), x3), b)
+
+    e1, y1 = sqrt_ratio(F, st.xi, gx1, one)
+    e2, y2 = sqrt_ratio(F, st.xi, gx2, one)
+    _, y3 = sqrt_ratio(F, st.xi, gx3, one)
+    e2 = jnp.logical_and(e2, jnp.logical_not(e1))
+
+    x = F.select(e1, x1, x3)
+    x = F.select(e2, x2, x)
+    y = F.select(e1, y1, y3)
+    y = F.select(e2, y2, y)
+    flip = sgn0(F, u) != sgn0(F, y)
+    y = F.select(flip, F.neg(y), y)
+    return AffineF(x, y)
+
+
 # ---------------------------------------------------------------------------
 # ψ endomorphism + cofactor clearing (BLS families)
 # ---------------------------------------------------------------------------
@@ -323,6 +399,27 @@ def _third_root_fp(curve_name: str) -> int:
 
 
 def clear_cofactor_g2(curve_name: str, pt: JacF) -> JacF:
+    """Family dispatch for G2 cofactor clearing."""
+    st = stack(curve_name)
+    if st.family == "bn":
+        return _clear_cofactor_g2_bn(curve_name, pt)
+    return _clear_cofactor_g2_bls12(curve_name, pt)
+
+
+def _clear_cofactor_g2_bn(curve_name: str, pt: JacF) -> JacF:
+    """BN G2 cofactor clearing (cacr2011-26 §6.1, ecc/bn254/g2.go:634):
+    [x]Q + psi(3[x]Q) + psi^2([x]Q) + psi^3(Q)."""
+    g = g2_group(curve_name)
+    xq = jac_mul_int_g(g, pt, _seed(curve_name))
+    p1 = psi(curve_name, gp.jac_add(g, gp.jac_double(g, xq), xq))
+    p2 = psi(curve_name, psi(curve_name, xq))
+    p3 = psi(curve_name, psi(curve_name, psi(curve_name, pt)))
+    res = gp.jac_add(g, xq, p1)
+    res = gp.jac_add(g, res, p2)
+    return gp.jac_add(g, res, p3)
+
+
+def _clear_cofactor_g2_bls12(curve_name: str, pt: JacF) -> JacF:
     """BLS12 G2 cofactor clearing, eprint 2017/419 §4.1 (g2.go:627):
 
         [x²-x-1]P + [x-1]ψ(P) + ψ²(2P)  realized as
@@ -392,13 +489,20 @@ def _coords_to_host(h, coords):
                  for k in range(d))
 
 
+def _map_to_curve_g2(curve_name: str, u) -> AffineF:
+    """Suite dispatch: SVDW (bn254) vs SSWU+isogeny (bls12/bw6)."""
+    if curve_name in SVDW_G2:
+        return map_to_curve_svdw_g2(curve_name, u)
+    return map_to_curve_sswu_g2(curve_name, u)
+
+
 def hash_to_g2(curve_name: str, msg: bytes, dst: bytes):
     """HashToG2 (hash_to_g2.go:365): hash_to_field(2) -> 2x map -> add ->
     clear cofactor.  Returns host (x, y) twist coordinates."""
     g = g2_group(curve_name)
     u = hash_to_field_g2(curve_name, msg, dst, 2)
-    q0 = map_to_curve_sswu_g2(curve_name, u[:, 0:1])
-    q1 = map_to_curve_sswu_g2(curve_name, u[:, 1:2])
+    q0 = _map_to_curve_g2(curve_name, u[:, 0:1])
+    q1 = _map_to_curve_g2(curve_name, u[:, 1:2])
     s = gp.jac_add(g, gp.jac_from_affine(g, q0), gp.jac_from_affine(g, q1))
     out = clear_cofactor_g2(curve_name, s)
     aff = gp.jac_to_affine(g, out)
@@ -409,7 +513,7 @@ def encode_to_g2(curve_name: str, msg: bytes, dst: bytes):
     """EncodeToG2 (hash_to_g2.go:342): one map, then clear cofactor."""
     g = g2_group(curve_name)
     u = hash_to_field_g2(curve_name, msg, dst, 1)
-    q = map_to_curve_sswu_g2(curve_name, u)
+    q = _map_to_curve_g2(curve_name, u)
     out = clear_cofactor_g2(curve_name, gp.jac_from_affine(g, q))
     aff = gp.jac_to_affine(g, out)
     return gp.affine_to_host(g, aff).reshape(-1)[0]

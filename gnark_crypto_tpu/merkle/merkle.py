@@ -82,6 +82,103 @@ def prove(leaves: list[bytes], index: int, h: Hasher = _default_hasher):
     return root, proof
 
 
+class Tree:
+    """Streaming Merkle accumulator (tree.go:36-330): O(log n) state, leaves
+    pushed one at a time (Push) or as whole cached subtrees (PushSubTree),
+    with an incrementally-built proof for the leaf chosen via SetIndex.
+
+    The subtree stack is kept smallest-height first (the reference's `head`
+    chain); equal heights join eagerly, recording the sibling hash in the
+    proof set exactly when its height equals len(proof_set) - 1."""
+
+    def __init__(self, hasher: Hasher = _default_hasher):
+        self._h = hasher
+        self._stack: list[tuple[int, bytes]] = []   # (height, sum), head first
+        self.current_index = 0
+        self.proof_index = 0
+        self._proof_set: list[bytes] = []
+        self._proof_tree = False
+
+    def set_index(self, i: int) -> None:
+        """SetIndex (tree.go:318): must be called before any Push."""
+        if self._stack:
+            raise ValueError(
+                "cannot call SetIndex on Tree if Tree has not been reset")
+        self._proof_tree = True
+        self.proof_index = i
+
+    def push(self, data: bytes) -> None:
+        """Push one leaf (tree.go:206)."""
+        if self.current_index == self.proof_index and self._proof_tree:
+            self._proof_set.append(data)
+        self._stack.insert(0, (0, leaf_sum(self._h, data)))
+        self._join_all()          # joins BEFORE the index update (tree.go:227)
+        self.current_index += 1
+
+    def push_subtree(self, height: int, sum_: bytes) -> None:
+        """PushSubTree (tree.go:254): a pre-hashed complete subtree of
+        2^height leaves; must not contain the proof index and must not be
+        taller than the current smallest subtree."""
+        new_index = self.current_index + (1 << height)
+        if self._proof_tree and (
+            self.current_index == self.proof_index
+            or self.current_index < self.proof_index < new_index
+        ):
+            raise ValueError(
+                "the cached tree shouldn't contain the element to prove")
+        if self._stack and height > self._stack[0][0]:
+            raise ValueError(
+                f"can't add a subtree that is larger than the smallest "
+                f"subtree {height} > {self._stack[0][0]}")
+        self._stack.insert(0, (height, sum_))
+        self._join_all()
+        self.current_index = new_index
+
+    def _join_all(self) -> None:
+        while len(self._stack) >= 2 and self._stack[0][0] == self._stack[1][0]:
+            (hgt, right), (_, left) = self._stack[0], self._stack[1]
+            if self._proof_tree and hgt == len(self._proof_set) - 1:
+                leaves = 1 << hgt
+                mid = (self.current_index // leaves) * leaves
+                self._proof_set.append(right if self.proof_index < mid
+                                       else left)
+            self._stack = [(hgt + 1, node_sum(self._h, left, right))] \
+                + self._stack[2:]
+
+    def root(self) -> bytes | None:
+        """Root (tree.go:300): fold the stack smallest-first into the
+        next-larger subtree (taller subtree is the left operand)."""
+        if not self._stack:
+            return None
+        cur = self._stack[0][1]
+        for _, s in self._stack[1:]:
+            cur = node_sum(self._h, s, cur)
+        return cur
+
+    def prove(self):
+        """Prove (tree.go:137): (root, proof_set, proof_index, num_leaves)
+        for the index chosen by set_index."""
+        if not self._proof_tree:
+            raise ValueError(
+                "wrong usage: can't call prove on a tree if SetIndex "
+                "wasn't called")
+        if not self._stack or not self._proof_set:
+            return self.root(), None, self.proof_index, self.current_index
+        proof = list(self._proof_set)
+        # combine subtrees smaller than the proof subtree into one right
+        # sibling, then larger subtrees join as left siblings
+        stack = list(self._stack)
+        while len(stack) >= 2 and stack[1][0] < len(proof) - 1:
+            (hgt, right), (lh, left) = stack[0], stack[1]
+            stack = [(lh + 1, node_sum(self._h, left, right))] + stack[2:]
+        if len(stack) >= 2 and stack[1][0] == len(proof) - 1:
+            proof.append(stack[0][1])
+            stack = stack[1:]
+        for _, s in stack[1:]:
+            proof.append(s)
+        return self.root(), proof, self.proof_index, self.current_index
+
+
 def verify_proof(root: bytes, proof_set: list[bytes], proof_index: int,
                  num_leaves: int, h: Hasher = _default_hasher) -> bool:
     """VerifyProof (verify.go): recompute the root from the leaf and sibling

@@ -1,0 +1,342 @@
+"""Rounds-based Pippenger bucket accumulation with a fused Pallas kernel.
+
+The TPU realization of the reference's per-chunk bucket processors
+(multiexp_affine.go:18 batch-affine / multiexp_jacobian.go jacExtended): after
+sorting each window's points by |digit|, bucket b's points occupy a contiguous
+run [starts[b], starts[b]+counts[b]).  Round r takes the r-th element of every
+run — AT MOST ONE POINT PER BUCKET, so a round is one conflict-free batched
+mixed addition into per-bucket accumulators (exactly the conflict-free batch
+the reference builds with its queue, ia.cr/2022/1396 §5.3, but derived from
+the sorted layout instead of control flow).
+
+Schedule per window:
+  1. keys = |digit|, y negated where digit < 0 (XLA select);
+  2. order = argsort(keys) — int32 keys only, the payload is NOT permuted;
+  3. dense candidate matrix dense[r, b] = points[order[starts[b]+r]] via one
+     XLA gather (round-major layout: round r is a contiguous lane row);
+  4. ONE pallas_call: grid (bucket-tiles, rounds); XYZZ accumulators live in
+     VMEM scratch across the round axis; each step performs a complete mixed
+     add (madd-2008-s + affine-double/cancel/empty selects, ~15 kernel muls)
+     on a (BL,) lane tile; accumulators canonicalize to the output only on
+     the final round.
+
+Cost: 1 mixed add per point per window (the segmented-scan path paid ~2 FULL
+Jacobian adds), with all field ops inside one VMEM-resident kernel.
+
+Skew handling: the round count P is static (~2x the mean bucket load).
+Buckets longer than P keep their tail unprocessed; the wrapper detects this
+from the returned counts (one tiny host fetch) and lazily runs the EXACT
+segmented-scan path (msm.msm) on the tail digits only — zero cost for
+benchmark-shaped inputs, exact for adversarial ones (all-equal scalars).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..curves.point import Affine, Jac, jac_add
+from ..curves.spec import CurveSpec
+from ..fields import mont
+from ..fields.kernel_lang import KF, kspec
+from .msm import (
+    DEFAULT_CHUNK,
+    _all_window_buckets,
+    _horner_windows,
+    _ops_for_curve,
+    _weighted_bucket_sums,
+    default_window,
+    signed_digits,
+)
+
+BL = 512  # bucket-tile lane width of the rounds kernel
+
+
+def _round_count(n: int, nb: int) -> int:
+    """Static rounds covering the Poisson max bucket load: mean +
+    sqrt(2*mean*ln nb) + O(ln nb) (max of nb Poisson(mean) draws).  The exact
+    tail path covers anything beyond (adversarial skew)."""
+    import math
+
+    mean = max(1, n // nb)
+    ln_nb = math.log(max(nb, 2))
+    p = mean + math.ceil(math.sqrt(2.0 * mean * ln_nb)) + math.ceil(2 * ln_nb)
+    return min(-(-p // 8) * 8, n)
+
+
+# ---------------------------------------------------------------------------
+# the rounds kernel
+# ---------------------------------------------------------------------------
+
+
+def _rounds_kernel(spec, a_plain, n16, n_rounds,
+                   dxy_ref, code_ref, ox, oy, ozz, ozzz, scr):
+    """One grid step = one round r over one (BL,) bucket-lane tile.
+
+    dxy rows [0,n16) = x, [n16,2n16) = y of the candidate; code is 0 (no
+    candidate), 1 (add P) or 2 (add -P: y negated in-kernel, the signed-digit
+    halving of partitionScalars, multiexp.go:704).  scr rows [0,nk) = X,
+    [nk,2nk) = Y, [2nk,3nk) = ZZ, [3nk,4nk) = ZZZ, kernel radix, persisted
+    across the round axis of the grid."""
+    kf = KF(kspec(spec))
+    nk = kf.n
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        scr[...] = jnp.zeros(scr.shape, scr.dtype)
+
+    x2 = kf.load16([dxy_ref[0, i] for i in range(n16)])
+    y2 = kf.load16([dxy_ref[0, n16 + i] for i in range(n16)])
+    code = code_ref[0, 0]
+    valid = code != 0
+    y2 = kf.select(code == 2, kf.neg(y2), y2)
+
+    X1 = [scr[j] for j in range(nk)]
+    Y1 = [scr[nk + j] for j in range(nk)]
+    ZZ1 = [scr[2 * nk + j] for j in range(nk)]
+    ZZZ1 = [scr[3 * nk + j] for j in range(nk)]
+
+    empty = kf.is_zero(ZZ1)
+
+    # mixed add, madd-2008-s (hyperelliptic.org/EFD xyzz): 8M + 1S
+    U2 = kf.mul(x2, ZZ1)
+    S2 = kf.mul(y2, ZZZ1)
+    Pd = kf.sub(U2, X1)
+    Rd = kf.sub(S2, Y1)
+    PP = kf.sqr(Pd)
+    PPP = kf.mul(Pd, PP)
+    Q = kf.mul(X1, PP)
+    x3 = kf.sub(kf.sub(kf.sqr(Rd), PPP), kf.double(Q))
+    y3 = kf.sub(kf.mul(Rd, kf.sub(Q, x3)), kf.mul(Y1, PPP))
+    zz3 = kf.mul(ZZ1, PP)
+    zzz3 = kf.mul(ZZZ1, PPP)
+
+    # candidate affine doubling, mdbl-2008-s (for acc == candidate): 3M + 2S
+    U = kf.double(y2)
+    V = kf.sqr(U)
+    Wd = kf.mul(U, V)
+    S = kf.mul(x2, V)
+    M = kf.mul_small(kf.sqr(x2), 3)
+    if a_plain:
+        M = kf.add(M, kf.const_mont(a_plain, x2))
+    dx3 = kf.sub(kf.sqr(M), kf.double(S))
+    dy3 = kf.sub(kf.mul(M, kf.sub(S, dx3)), kf.mul(Wd, y2))
+
+    pz = kf.is_zero(Pd)
+    rz = kf.is_zero(Rd)
+    dbl = jnp.logical_and(pz, rz)
+    cancel = jnp.logical_and(pz, jnp.logical_not(rz))
+
+    one = kf.one_mont(x2)
+    zero = kf.zero(x2)
+    outs = []
+    for add_w, dbl_w, emp_w, acc_w in (
+        (x3, dx3, x2, X1),
+        (y3, dy3, y2, Y1),
+        (zz3, V, one, ZZ1),
+        (zzz3, Wd, one, ZZZ1),
+    ):
+        w = kf.select(dbl, dbl_w, add_w)
+        w = kf.select(cancel, zero, w)      # P == -Q -> infinity (ZZ = 0)
+        w = kf.select(empty, emp_w, w)      # first point lands as-is
+        w = kf.select(valid, w, acc_w)      # masked lane: keep accumulator
+        outs.append(w)
+
+    for j in range(nk):
+        scr[j] = outs[0][j]
+        scr[nk + j] = outs[1][j]
+        scr[2 * nk + j] = outs[2][j]
+        scr[3 * nk + j] = outs[3][j]
+
+    @pl.when(r == n_rounds - 1)
+    def _():
+        for ref, val in zip((ox, oy, ozz, ozzz), outs):
+            rows = kf.store16(val, n16)
+            for i in range(n16):
+                ref[i] = rows[i]
+
+
+def _run_rounds(spec, a_plain, n_rounds, nb, interpret, dxy, code):
+    """dxy: (n_rounds, 2*n16, nb) x||y candidate rows; code: (n_rounds, 1, nb)
+    uint32 in {0: none, 1: +P, 2: -P}.
+    Returns (X, Y, ZZ, ZZZ) xyzz bucket accumulators, each (n16, nb)."""
+    n16 = spec.n_limbs
+    nk = kspec(spec).n
+    kernel = functools.partial(_rounds_kernel, spec, a_plain, n16, n_rounds)
+    grid = (nb // BL, n_rounds)
+    ospec = lambda: pl.BlockSpec((n16, BL), lambda i, r: (0, i),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((n16, nb), jnp.uint32)] * 4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2 * n16, BL), lambda i, r: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BL), lambda i, r: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ospec() for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((4 * nk, BL), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dxy, code)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue
+# ---------------------------------------------------------------------------
+
+
+def _xyzz_to_jac(cs: CurveSpec, X, Y, ZZ, ZZZ) -> Jac:
+    """(X/ZZ, Y/ZZZ) -> Jacobian with Z = ZZ*ZZZ (7 muls, no inversion);
+    ZZ == 0 (empty bucket) maps to the Jacobian point at infinity."""
+    f = cs.fp
+    t = mont.square(f, ZZZ)          # ZZZ^2
+    zz2 = mont.square(f, ZZ)
+    zz3 = mont.mul(f, zz2, ZZ)
+    xj = mont.mul(f, mont.mul(f, X, ZZ), t)
+    yj = mont.mul(f, mont.mul(f, Y, zz3), t)
+    zj = mont.mul(f, ZZ, ZZZ)
+    return Jac(xj, yj, zj)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
+                     n_rounds: int, interpret: bool):
+    """Returns (windowed bucket Jac tree (L, W, nb), counts (W, nb+1)).
+
+    Windows run under lax.map: ONE traced window body (compile stays flat in
+    W) executed sequentially, so only one window's dense candidate matrix is
+    live at a time (~2x the point data; 4 GB at 2^24/c=16)."""
+    f = cs.fp
+    n = points.x.shape[1]
+    nb = 1 << (c - 1)
+    digits = signed_digits(cs.fr.bits, c, scalars)      # (W, n)
+    a_plain = cs.a % f.modulus if cs.a else 0
+    iota_r = jnp.arange(n_rounds, dtype=jnp.int32)
+    xy = jnp.concatenate([points.x, points.y], axis=0)  # (2*n16, n)
+
+    def window_body(d):
+        keys = jnp.abs(d)
+        order = jnp.argsort(keys).astype(jnp.int32)
+        counts = jnp.bincount(keys, length=nb + 1)
+        starts = jnp.cumsum(counts) - counts            # exclusive
+        pos = starts[1:][None, :] + iota_r[:, None]      # (P, nb)
+        valid = (iota_r[:, None] < counts[1:][None, :])
+        idx = order[jnp.clip(pos, 0, n - 1)]             # (P, nb)
+        dxy = jnp.moveaxis(xy[:, idx], 0, 1)             # (P, 2*n16, nb)
+        # candidate code: 0 none, 1 add, 2 add negated (sign applied in-kernel)
+        code = jnp.where(valid,
+                         jnp.where(d[idx] < 0, jnp.uint32(2), jnp.uint32(1)),
+                         jnp.uint32(0))
+        X, Y, ZZ, ZZZ = _run_rounds(
+            f, a_plain, n_rounds, nb, interpret, dxy, code[:, None, :])
+        return X, Y, ZZ, ZZZ, counts
+
+    bx, by, bzz, bzzz, counts_all = jax.lax.map(window_body, digits)
+    arrange = lambda a: jnp.moveaxis(a, 0, 1)           # (n16, W, nb)
+    buckets = _xyzz_to_jac(cs, arrange(bx), arrange(by), arrange(bzz),
+                           arrange(bzzz))
+    return buckets, counts_all
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _tail_buckets(cs: CurveSpec, points: Affine, scalars, c: int,
+                  counts, n_rounds: int):
+    """EXACT segmented-scan bucket sums of only the points a window's rounds
+    did not consume (bucket loads > n_rounds) — compiled lazily, only ever
+    executed on skewed inputs."""
+    ops = _ops_for_curve(cs)
+    digits = signed_digits(cs.fr.bits, c, scalars)
+    keys = jnp.abs(digits)                               # (W, n)
+    # rank of each point within its (window, bucket) group == number of
+    # same-key predecessors; recover it from the sort: rank[order[i]] =
+    # i - starts[key_sorted[i]]
+    def per_window(d, cnts):
+        k = jnp.abs(d)
+        order = jnp.argsort(k).astype(jnp.int32)
+        starts = jnp.cumsum(cnts) - cnts
+        i = jnp.arange(d.shape[0], dtype=jnp.int32)
+        rank_sorted = i - starts[k[order]].astype(jnp.int32)
+        rank = jnp.zeros_like(i).at[order].set(rank_sorted)
+        return jnp.where(rank >= n_rounds, d, 0)
+
+    masked = jax.vmap(per_window)(digits, counts)
+    nb = 1 << (c - 1)
+    return _all_window_buckets(ops, points, masked, nb, DEFAULT_CHUNK)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _reduce_windows(cs: CurveSpec, buckets, c: int):
+    ops = _ops_for_curve(cs)
+    return _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
+             n_rounds: int, interpret: bool):
+    """End-to-end common path in ONE compiled program: rounds core + window
+    reduction.  Returns (result Jac, buckets, max bucket load) — buckets stay
+    on device for the rare tail fix-up, only the max is fetched."""
+    buckets, counts = _msm_rounds_core(cs, points, scalars, c, n_rounds,
+                                       interpret)
+    ops = _ops_for_curve(cs)
+    acc = _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
+    return acc, buckets, counts
+
+
+def fast_window(n: int, bits: int) -> int:
+    """Empirical window choice for the rounds path: the reduction's
+    sequential scan makes big bucket counts cost more than the reference's
+    cost model assumes, so c sits below default_window."""
+    if n >= 1 << 22:
+        return 15
+    if n >= 1 << 17:
+        return 13
+    if n >= 1 << 13:
+        return 12
+    return 10
+
+
+def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
+             interpret: bool = False) -> Jac:
+    """High-throughput MSM (MultiExp, multiexp.go:20): rounds-based Pallas
+    bucket accumulation + exact lazy tail.  points (n16, N) affine SoA,
+    scalars plain (n16_fr, N) limb array.  Exact for any input."""
+    n = points.x.shape[1]
+    if c is None:
+        c = fast_window(n, cs.fr.bits)
+    nb = 1 << (c - 1)
+    # pad to a BL-multiple bucket grid and pow2 batch like msm() does
+    np2 = max(BL, 1 << max(0, (n - 1).bit_length()))
+    if np2 != n:
+        pad = np2 - n
+        points = Affine(jnp.pad(points.x, ((0, 0), (0, pad))),
+                        jnp.pad(points.y, ((0, 0), (0, pad))))
+        scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+        n = np2
+    assert nb % BL == 0 or nb <= BL, (
+        f"bucket count {nb} not compatible with lane tile {BL}; "
+        f"use c >= {BL.bit_length()} or adjust BL")
+    if nb < BL:
+        # small windows: widen c so the kernel lane tile is full
+        return msm_fast(cs, points, scalars, c=BL.bit_length(),
+                        interpret=interpret)
+    n_rounds = _round_count(n, nb)
+    acc, buckets, counts = _msm_all(cs, points, scalars, c, n_rounds,
+                                    interpret)
+    # lazy exact tail (adversarial skew only): one small host fetch
+    mx = int(np.asarray(counts)[:, 1:].max())
+    if mx > n_rounds:
+        tails = _tail_buckets(cs, points, scalars, c, counts, n_rounds)
+        buckets = jac_add(cs, buckets, tails)
+        acc = _reduce_windows(cs, buckets, c)
+    return acc

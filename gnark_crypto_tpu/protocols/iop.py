@@ -101,14 +101,56 @@ class Polynomial:
         return dataclasses.replace(p, coeffs=c, basis=Basis.LAGRANGE_COSET,
                                    layout=Layout.REGULAR)
 
-    def evaluate(self, x: int) -> int:
-        """Single-point evaluation (canonical, regular)."""
+    def shifted(self, shift: int) -> "Polynomial":
+        """Shift view (polynomial.go:82): flags the polynomial as
+        p(w^shift X) without touching the data."""
+        return dataclasses.replace(self, shift=shift)
+
+    def evaluate(self, x: int, domain: Domain | None = None) -> int:
+        """Single-point evaluation (polynomial.go:105 Evaluate semantics:
+        a nonzero shift evaluates p at w^shift * x)."""
         assert self.basis is Basis.CANONICAL and self.layout is Layout.REGULAR
         from ..fft.domain import powers
 
+        q = self.spec.modulus
+        if self.shift:
+            if domain is None:
+                domain = Domain(self.spec, self.size)
+            x = x * pow(domain.generator, self.shift, q) % q
         pw = powers(self.spec, x, self.size)
         v = mont.inner_product(self.spec, self.coeffs, pw, axis=1)
         return int(mont.to_ints(self.spec, v[:, None])[0])
+
+    # ---- serialization (polynomial.go:393 WriteTo / :430 ReadFrom) ----
+
+    def to_bytes(self) -> bytes:
+        """Coefficients (big-endian canonical, element-major) followed by
+        (basis, layout, shift, size) as uint32 — the reference's wire shape."""
+        import numpy as np
+
+        ints = mont.to_ints(self.spec, self.coeffs)
+        nb = self.spec.bytes
+        body = b"".join(int(v).to_bytes(nb, "big") for v in ints)
+        meta = b"".join(
+            int(v).to_bytes(4, "big")
+            for v in (self.basis.value, self.layout.value, self.shift,
+                      self.size)
+        )
+        return body + meta
+
+    @classmethod
+    def from_bytes(cls, spec: FieldSpec, data: bytes) -> "Polynomial":
+        nb = spec.bytes
+        meta = data[-16:]
+        body = data[:-16]
+        basis, layout, shift, size = (
+            int.from_bytes(meta[4 * i : 4 * i + 4], "big") for i in range(4)
+        )
+        assert len(body) == size * nb
+        vals = [int.from_bytes(body[i * nb : (i + 1) * nb], "big")
+                for i in range(size)]
+        return cls(coeffs=mont.from_ints(spec, vals), basis=Basis(basis),
+                   layout=Layout(layout), spec=spec, shift=shift)
 
 
 def evaluate_expression(spec: FieldSpec, fn, *polys: Polynomial) -> jax.Array:

@@ -136,3 +136,137 @@ def seal(cs: CurveSpec, tw, state: SetupState, beacon: bytes) -> SetupState:
     """Seal (kzg/mpcsetup.go:127): final public-beacon contribution."""
     x = int.from_bytes(hashlib.sha256(beacon).digest(), "big") % cs.fr.modulus
     return contribute(cs, tw, state, x or 1)
+
+
+# ---------------------------------------------------------------------------
+# generic update machinery (ecc/bn254/mpcsetup/mpcsetup.go)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class UpdateProof:
+    """UpdateProof (mpcsetup.go:36): [x]G1 + PoK pi = x.R in G2."""
+
+    contribution_commitment: tuple      # host G1 affine
+    contribution_pok: tuple             # host G2 affine (twist coords)
+
+
+def pok_base(cs: CurveSpec, tw, x_g1: tuple, challenge: bytes, dst: int):
+    """R = HashToG2(marshal([x]G1) || challenge, [dst]) (mpcsetup.go:24)."""
+    from ..curves.hash_to_g2 import hash_to_g2
+    from ..curves.marshal import g1_to_bytes
+
+    msg = g1_to_bytes(cs, x_g1) + challenge
+    return hash_to_g2(tw.ts.name, msg, bytes([dst]))
+
+
+def update_values(cs: CurveSpec, tw, contribution: int | None,
+                  challenge: bytes, dst: int, representations: list):
+    """UpdateValues (mpcsetup.go:47): scale arbitrary G1/G2 representation
+    sets by x and return the update proof.  representations: list whose items
+    are ('g1', [host G1 points]) or ('g2', [host G2 points]); scaled lists are
+    returned alongside the proof."""
+    r_mod = cs.fr.modulus
+    if not contribution:
+        import secrets
+
+        contribution = secrets.randbelow(r_mod - 1) + 1
+    x = contribution % r_mod
+    tc = twist_curve(tw.ts)
+    x_g1 = cs.ref.mul(x, cs.generator)
+    scaled = []
+    for kind, pts in representations:
+        if kind == "g1":
+            scaled.append((kind, [cs.ref.mul(x, P) for P in pts]))
+        elif kind == "g2":
+            scaled.append((kind, [tc.mul(x, P) for P in pts]))
+        else:
+            raise ValueError(f"unsupported representation kind {kind!r}")
+    base = pok_base(cs, tw, x_g1, challenge, dst)
+    pok = tc.mul(x, base)
+    return UpdateProof(x_g1, pok), scaled
+
+
+def same_ratio(tw, cs: CurveSpec, n1, d1, n2, d2) -> bool:
+    """sameRatio (mpcsetup.go:236): n1/d1 == n2/d2 via
+    e(n1, d2) * e(-d1, n2) == 1.  n1/d1 host G1; n2/d2 host G2."""
+    p_dev = gp.affine_from_ints(cs, [n1, cs.ref.neg(d1)])
+    q_dev = g2_from_ints(tw, [d2, n2])
+    return bool(np.asarray(pairing_check(tw, p_dev, q_dev)))
+
+
+def verify_update(cs: CurveSpec, tw, proof: UpdateProof, challenge: bytes,
+                  dst: int, previous: list, next_: list,
+                  rng=None) -> bool:
+    """UpdateProof.Verify (mpcsetup.go:92): PoK check + one folded sameRatio
+    per group over random linear combinations of (previous, next) sets."""
+    r_mod = cs.fr.modulus
+    tc = twist_curve(tw.ts)
+    if proof.contribution_commitment is None:
+        return False                      # zero contribution not allowed
+    g1_prev = [P for k, pts in previous if k == "g1" for P in pts]
+    g1_next = [P for k, pts in next_ if k == "g1" for P in pts]
+    g2_prev = [P for k, pts in previous if k == "g2" for P in pts]
+    g2_next = [P for k, pts in next_ if k == "g2" for P in pts]
+    if len(g1_prev) != len(g1_next) or len(g2_prev) != len(g2_next):
+        return False
+    if rng is None:
+        import secrets
+
+        draw = lambda: secrets.randbelow(r_mod)
+    else:
+        draw = lambda: int.from_bytes(rng.bytes(2 * cs.fr.n_limbs), "big") % r_mod
+    m = max(len(g1_prev), len(g2_prev))
+    lams = [1] + [0] * (m - 1) if m else []
+    if m > 1:
+        a = draw()
+        cur = a
+        for i in range(1, m):
+            lams[i] = cur
+            cur = cur * a % r_mod
+
+    base = pok_base(cs, tw, proof.contribution_commitment, challenge, dst)
+    # pi =? x.R  i.e.  x/G1 == pi/R
+    if not same_ratio(tw, cs, proof.contribution_commitment, cs.generator,
+                      proof.contribution_pok, base):
+        return False
+    if g1_prev:
+        prev = _lincomb_g1(cs, g1_prev, lams)
+        nxt = _lincomb_g1(cs, g1_next, lams)
+        if not same_ratio(tw, cs, nxt, prev, proof.contribution_pok, base):
+            return False
+    if g2_prev:
+        prev = _lincomb_g2(tc, g2_prev, lams, r_mod)
+        nxt = _lincomb_g2(tc, g2_next, lams, r_mod)
+        if not same_ratio(tw, cs, proof.contribution_commitment, cs.generator,
+                          nxt, prev):
+            return False
+    return True
+
+
+def _lincomb_g1(cs: CurveSpec, pts: list, lams: list):
+    acc = None
+    for P, l in zip(pts, lams):
+        acc = cs.ref.add(acc, cs.ref.mul(l, P))
+    return acc
+
+
+def _lincomb_g2(tc, pts: list, lams: list, r_mod: int):
+    acc = None
+    for P, l in zip(pts, lams):
+        acc = tc.add(acc, tc.mul(l % r_mod, P))
+    return acc
+
+
+def beacon_contributions(hash_: bytes, dst: bytes, beacon: bytes,
+                         n: int, q: int) -> list[int]:
+    """BeaconContributions (mpcsetup.go:184): n reproducible nonzero field
+    elements from a public beacon, via ExpandMsgXmd."""
+    from ..hashes.hash_to_field import hash_to_field
+
+    buf = hash_ + beacon
+    while True:
+        res = hash_to_field(buf, dst, q, n)
+        if all(v != 0 for v in res):
+            return res
+        buf += b"="

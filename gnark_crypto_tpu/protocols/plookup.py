@@ -185,6 +185,101 @@ def prove(cs: CurveSpec, tw, srs: kzg.SRS, f: list[int], t: list[int]):
     )
 
 
+@dataclasses.dataclass
+class LookupTablesProof:
+    """ProofLookupTables (table.go:27): per-row commitments + folded inner
+    vector proof + permutation proof that the folded table was sorted."""
+
+    fs: list                 # per-row commitments of f
+    ts: list                 # per-row commitments of t
+    folded: PlookupProof
+    perm: object             # permutation.PermutationProof
+
+
+def _pad_to(vals: list[int], n: int) -> list[int]:
+    return list(vals) + [vals[-1]] * (n - len(vals))
+
+
+def prove_lookup_tables(cs: CurveSpec, tw, srs: kzg.SRS,
+                        f: list[list[int]], t: list[list[int]]):
+    """ProveLookupTables (table.go:52): f's columns (f[:][i] across rows) must
+    each equal some column of t.  Rows are committed, folded with a
+    Fiat-Shamir lambda, and the folded vectors go through the vector prover;
+    sortedness of the folded table is a permutation proof."""
+    from . import permutation
+
+    fr = cs.fr
+    q = fr.modulus
+    assert len(f) == len(t) and f
+    assert all(len(fi) == len(f[0]) for fi in f)
+    assert all(len(ti) == len(t[0]) for ti in t)
+    nb_rows = len(t)
+    n_cols = max(len(f[0]) + 1, len(t[0]))
+    domain = Domain(fr, n_cols)
+    n = domain.cardinality
+
+    lfs = [_pad_to(fi, n) for fi in f]
+    lts = [_pad_to(ti, n) for ti in t]
+    fs_comms, ts_comms = [], []
+    for row in lfs:
+        P = intt(domain, mont.from_ints(fr, row))
+        fs_comms.append(kzg._to_host_point(cs, kzg.commit(cs, srs.pk, P)))
+    for row in lts:
+        P = intt(domain, mont.from_ints(fr, row))
+        ts_comms.append(kzg._to_host_point(cs, kzg.commit(cs, srs.pk, P)))
+
+    tr = Transcript("sha256", ["lambda"])
+    for cpt in fs_comms + ts_comms:
+        tr.bind("lambda", str(cpt).encode())
+    lam = tr.challenge_scalar("lambda", q)
+
+    # fold rows by Horner from the LAST row (table.go:141)
+    foldedf = [0] * n
+    foldedt = [0] * n
+    for i in range(n):
+        for j in range(nb_rows - 1, -1, -1):
+            foldedf[i] = (foldedf[i] * lam + lfs[j][i]) % q
+            foldedt[i] = (foldedt[i] * lam + lts[j][i]) % q
+
+    sorted_t = sorted(foldedt)
+    sigma = sorted(range(n), key=lambda i: foldedt[i])  # sorted_t = foldedt∘sigma
+    perm_proof, _ = permutation.prove(cs, tw, srs, sigma, foldedt)
+    folded = prove(cs, tw, srs, foldedf[: n - 1], foldedt)
+    return LookupTablesProof(fs=fs_comms, ts=ts_comms, folded=folded,
+                             perm=perm_proof)
+
+
+def verify_lookup_tables(cs: CurveSpec, tw, srs: kzg.SRS,
+                         proof: LookupTablesProof) -> bool:
+    """VerifyLookupTables (table.go:169): re-derive lambda, check the folded
+    f-commitment matches the inner proof, verify the permutation proof and
+    the inner vector proof."""
+    from . import permutation
+
+    fr = cs.fr
+    q = fr.modulus
+    if len(proof.fs) != len(proof.ts):
+        return False
+    tr = Transcript("sha256", ["lambda"])
+    for cpt in proof.fs + proof.ts:
+        tr.bind("lambda", str(cpt).encode())
+    lam = tr.challenge_scalar("lambda", q)
+
+    # fold the row commitments by Horner from the last row (table.go:196)
+    comf = proof.fs[-1]
+    comt = proof.ts[-1]
+    for i in range(len(proof.fs) - 2, -1, -1):
+        comf = cs.ref.add(cs.ref.mul(lam, comf), proof.fs[i])
+        comt = cs.ref.add(cs.ref.mul(lam, comt), proof.ts[i])
+    if comf != proof.folded.comms["F"]:
+        return False
+    if comt != proof.perm.comms["A"]:
+        return False
+    if not permutation.verify(cs, tw, srs, proof.perm):
+        return False
+    return verify(cs, tw, srs, proof.folded)
+
+
 def verify(cs: CurveSpec, tw, srs: kzg.SRS, proof: PlookupProof) -> bool:
     fr = cs.fr
     q = fr.modulus

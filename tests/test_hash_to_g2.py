@@ -90,3 +90,53 @@ def test_hash_to_g2_subgroup_bls12_377():
     got = h2.hash_to_g2("bls12_377", b"hello", b"GNARK-TPU-TEST-DST")
     assert hc.is_on_curve(got)
     assert hc.mul(g.fr.modulus, got) is None
+
+
+# ---------------------------------------------------------------------------
+# bn254 G2 SVDW suite (ecc/bn254/hash_vectors_test.go:59-110)
+# ---------------------------------------------------------------------------
+
+BN_DST_RO = b"QUUX-V01-CS02-with-BN254G2_XMD:SHA-256_SVDW_RO_"
+BN_DST_NU = b"QUUX-V01-CS02-with-BN254G2_XMD:SHA-256_SVDW_NU_"
+
+BN_RO_CASES = [
+    {
+        "msg": b"",
+        "Px": e2("0x1192005a0f121921a6d5629946199e4b27ff8ee4d6dd4f9581dc550ade851300,0x1747d950a6f23c16156e2171bce95d1189b04148ad12628869ed21c96a8c9335"),
+        "Py": e2("0x498f6bb5ac309a07d9a8b88e6ff4b8de0d5f27a075830e1eb0e68ea318201d8,0x2c9755350ca363ef2cf541005437221c5740086c2e909b71d075152484e845f4"),
+        "u0": e2("0x2c85988ecf26034a6d6c495c467150aeaead51fceb623aa99b0433275c8952c7,0x182126b31e6df7cf33844bf16a92f42072ee47f80539dace68dbfc3380d1fcbd"),
+        "Q0x": e2("0x71e460ff150e978d833ef69fdf228f0d2c0807e3dce076b17dccdaa64bf6b25,0xab3b378f44776bd951140bfc354e68554ca76a4369a6b20d0da39e18e31fa38"),
+        "Q0y": e2("0x2c6cdc66602f181b70022028cd584f9d021eb409af5bfcef716a180383140aaf,0x113b1e8168192dc9a8048152b61aab936ce3654bf5f67d3d63f53d4eee72e011"),
+    },
+    {
+        "msg": b"abc",
+        "Px": e2("0x16c88b54eec9af86a41569608cd0f60aab43464e52ce7e6e298bf584b94fccd2,0xb5db3ca7e8ef5edf3a33dfc3242357fbccead98099c3eb564b3d9d13cba4efd"),
+        "Py": e2("0x1c42ba524cb74db8e2c680449746c028f7bea923f245e69f89256af2d6c5f3ac,0x22d02d2da7f288545ff8789e789902245ab08c6b1d253561eec789ec2c1bd630"),
+        "u0": e2("0x234b244ed36d5acbb96a4f5fb67094945a0bb4ecf33d55bcc218ce834dc82c63,0x4ca11f51d0cf7e7393a0e6d7be3d0e6b07652d5ba308554a72dafe502dd59cc"),
+        "Q0x": e2("0x254d44345e73654a4a41adc0b17f39b397c352693513b3439afe5596cba3c6b2,0x2d489087e8025d60a201c109bd6be0aac5e8b04593c1127e4f8cf9e654dd1f82"),
+        "Q0y": e2("0xf1b1989fb5b87287ba1eee6b04426b1b3afb72c0aa8e981e392e740c0b2045,0x20d48c7925d6e00cf89487c737f49a0b5946158ca515fcc12516aefd33f9a45b"),
+    },
+]
+
+
+@pytest.mark.slow
+def test_bn254_svdw_map_vectors():
+    """u0 -> Q0 through the SVDW map only (no cofactor clearing)."""
+    st = stack("bn254")
+    F = st.tf
+    for case in BN_RO_CASES:
+        u = h2.hash_to_field_g2("bn254", case["msg"], BN_DST_RO, 2)
+        u_host = F.to_ints(u)
+        assert tuple(u_host[0]) == case["u0"], "hash_to_field mismatch"
+        q0 = h2._map_to_curve_g2("bn254", u[:, 0:1])
+        got_x = F.to_ints(q0.x)[0]
+        got_y = F.to_ints(q0.y)[0]
+        assert tuple(got_x) == case["Q0x"], case["msg"]
+        assert tuple(got_y) == case["Q0y"], case["msg"]
+
+
+@pytest.mark.slow
+def test_bn254_hash_to_g2_vectors():
+    for case in BN_RO_CASES:
+        P = h2.hash_to_g2("bn254", case["msg"], BN_DST_RO)
+        assert P == (case["Px"], case["Py"]), case["msg"]

@@ -167,3 +167,70 @@ def test_eddsa_batch_verify_device():
     sigs[1] = eddsa.Signature(r=sigs[1].r, s=(sigs[1].s + 1) % es.order)
     ok = eddsa.batch_verify(es, pubs, sigs, msgs, m)
     assert ok[0] and not ok[1] and ok[2]
+
+
+# ---------------------------------------------------------------------------
+# streaming Merkle accumulator (tree.go:206-330)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_tree_matches_batch_root():
+    from gnark_crypto_tpu.merkle import merkle
+
+    for n in (1, 2, 3, 5, 8, 11, 16):
+        leaves = [bytes([i]) * 8 for i in range(n)]
+        t = merkle.Tree()
+        for l in leaves:
+            t.push(l)
+        assert t.root() == merkle.tree_root(leaves), n
+
+
+def test_stream_tree_prove_matches_batch():
+    from gnark_crypto_tpu.merkle import merkle
+
+    n = 11
+    leaves = [bytes([i]) * 8 for i in range(n)]
+    for idx in range(n):
+        t = merkle.Tree()
+        t.set_index(idx)
+        for l in leaves:
+            t.push(l)
+        root, proof, pidx, nl = t.prove()
+        want_root, want_proof = merkle.prove(leaves, idx)
+        assert root == want_root
+        assert proof == want_proof, idx
+        assert merkle.verify_proof(root, proof, pidx, nl)
+
+
+def test_push_subtree():
+    import pytest
+
+    from gnark_crypto_tpu.merkle import merkle
+
+    leaves = [bytes([i]) * 8 for i in range(8)]
+    sub = merkle.Tree()
+    for l in leaves[:4]:
+        sub.push(l)
+    t = merkle.Tree()
+    t.push_subtree(2, sub.root())
+    for l in leaves[4:]:
+        t.push(l)
+    assert t.root() == merkle.tree_root(leaves)
+
+    # too-tall subtree after a single leaf
+    t2 = merkle.Tree()
+    t2.push(leaves[0])
+    with pytest.raises(ValueError):
+        t2.push_subtree(2, sub.root())
+
+    # subtree containing the proof index is rejected
+    t3 = merkle.Tree()
+    t3.set_index(1)
+    with pytest.raises(ValueError):
+        t3.push_subtree(2, sub.root())
+
+    # SetIndex after pushes is rejected
+    t4 = merkle.Tree()
+    t4.push(leaves[0])
+    with pytest.raises(ValueError):
+        t4.set_index(0)

@@ -1,6 +1,7 @@
 """Tests for sumcheck, iop polynomial forms, SIS, multilinear helpers."""
 
 import numpy as np
+import pytest
 
 from gnark_crypto_tpu.fft import Domain, ntt
 from gnark_crypto_tpu.fiatshamir.transcript import Transcript
@@ -92,3 +93,75 @@ def test_sis_linearity_and_determinism():
     hb = rs.hash_elements(b)
     hab = rs.hash_elements(ab)
     assert hab == [(x + y) % q for x, y in zip(ha, hb)]
+
+
+# ---------------------------------------------------------------------------
+# generic mpcsetup update machinery (mpcsetup.go:47-236)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_mpcsetup_update_values_roundtrip():
+    import numpy as np
+
+    from gnark_crypto_tpu.curves import bn254
+    from gnark_crypto_tpu.pairing import pairing_ctx
+    from gnark_crypto_tpu.protocols import mpcsetup
+    from gnark_crypto_tpu.towers.reference import twist_curve
+
+    cs = bn254()
+    tw = pairing_ctx("bn254")
+    tc = twist_curve(tw.ts)
+    g2 = (tw.ts.g2x, tw.ts.g2y)
+    prev = [
+        ("g1", [cs.generator, cs.ref.mul(5, cs.generator)]),
+        ("g2", [g2]),
+    ]
+    proof, nxt = mpcsetup.update_values(cs, tw, 987654321, b"chal", 3, prev)
+    rng = np.random.default_rng(0)
+    assert mpcsetup.verify_update(cs, tw, proof, b"chal", 3, prev, nxt,
+                                  rng=rng)
+    # wrong challenge must fail the PoK
+    assert not mpcsetup.verify_update(cs, tw, proof, b"other", 3, prev, nxt,
+                                      rng=rng)
+    # tampered next set must fail the ratio check
+    bad = [(k, list(pts)) for k, pts in nxt]
+    bad[0][1][1] = cs.ref.mul(7, cs.generator)
+    assert not mpcsetup.verify_update(cs, tw, proof, b"chal", 3, prev, bad,
+                                      rng=rng)
+
+
+def test_beacon_contributions_deterministic():
+    from gnark_crypto_tpu.curves import bn254
+    from gnark_crypto_tpu.protocols import mpcsetup
+
+    q = bn254().fr.modulus
+    a = mpcsetup.beacon_contributions(b"h", b"d", b"beacon", 4, q)
+    b = mpcsetup.beacon_contributions(b"h", b"d", b"beacon", 4, q)
+    assert a == b and len(a) == 4 and all(0 < v < q for v in a)
+
+
+def test_iop_shift_and_serialization():
+    """Shift view (polynomial.go:82) + WriteTo/ReadFrom round-trip (:393)."""
+    from gnark_crypto_tpu.protocols import iop
+
+    spec = get_spec("bn254_fr")
+    q = spec.modulus
+    rng = np.random.default_rng(3)
+    n = 8
+    coeffs = [int(x) % q for x in rng.integers(0, 2**61, n)]
+    P = iop.Polynomial(coeffs=mont.from_ints(spec, coeffs),
+                       basis=iop.Basis.CANONICAL, layout=iop.Layout.REGULAR,
+                       spec=spec)
+    x = 12345678901234567
+    d = Domain(spec, n)
+    w = d.generator
+    # shifted evaluation = evaluation at w^shift * x
+    got = P.shifted(3).evaluate(x)
+    want = P.evaluate(x * pow(w, 3, q) % q)
+    assert got == want
+    # serialization round-trip preserves coefficients and form
+    blob = P.shifted(2).to_bytes()
+    Q = iop.Polynomial.from_bytes(spec, blob)
+    assert Q.shift == 2 and Q.basis is P.basis and Q.layout is P.layout
+    assert (np.asarray(Q.coeffs) == np.asarray(P.coeffs)).all()
