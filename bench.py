@@ -157,9 +157,8 @@ def _msm_setup(n, rng):
     base = point.jac_to_affine(cs, batch_scalar_mul_fixed_base(cs, cs.generator, ks))
     if n > n_base:
         reps = n // n_base
-        px = np.tile(np.asarray(base.x), (1, reps))
-        py = np.tile(np.asarray(base.y), (1, reps))
-        pts = point.Affine(jax.numpy.asarray(px), jax.numpy.asarray(py))
+        tile = jax.jit(lambda a: jax.numpy.tile(a, (1, reps)))
+        pts = point.Affine(tile(base.x), tile(base.y))  # tiled ON DEVICE
     else:
         pts = base
     scalars = jax.numpy.asarray(_uniform_scalars_fast(cs.fr, n, rng))
@@ -167,19 +166,19 @@ def _msm_setup(n, rng):
 
 
 def bench_msm(log2n):
-    from gnark_crypto_tpu.msm.msm import default_window, msm_jit
+    from gnark_crypto_tpu.msm.pallas_msm import fast_window, msm_fast
 
     n = 1 << log2n
     rng = np.random.default_rng(2)
     cs, pts, scalars = _msm_setup(n, rng)
-    c = min(default_window(n, cs.fr.bits), 16)
+    c = fast_window(n, cs.fr.bits)
     _log(f"msm setup done (n=2^{log2n}, c={c})")
 
-    out = msm_jit(cs, pts, scalars, c)
+    out = msm_fast(cs, pts, scalars, c)
     _sync(out)
     _log(f"msm warm (compile) pass done")
     t0 = time.perf_counter()
-    out = msm_jit(cs, pts, scalars, c)
+    out = msm_fast(cs, pts, scalars, c)
     _sync(out)
     dt = time.perf_counter() - t0
     return n / dt, dt

@@ -143,11 +143,14 @@ def is_on_curve_affine(cs: CurveSpec, a: Affine) -> jax.Array:
 # group law (complete, branchless)
 # ---------------------------------------------------------------------------
 
-# Fused-kernel dispatch: on TPU, large batches run the whole group-law formula
-# in ONE VMEM-resident Pallas kernel (curves/pallas_point.py) instead of ~16
+# Fused-kernel dispatch: on TPU, batches run the whole group-law formula in
+# ONE VMEM-resident Pallas kernel (curves/pallas_point.py) instead of ~16
 # separate Montgomery-mul launches with HBM round-trips between them.  The
 # composed-op path below stays as the CPU/test ("purego"-analogue) fallback.
-_FUSED_MIN_N = 256
+# Threshold 1: even batch-1 adds (Horner window folds, bucket-reduce scan
+# steps) are faster as one padded kernel launch than as ~50 XLA ops with
+# lax.scan limb carries.
+_FUSED_MIN_N = 1
 
 
 def _fused_batch(*arrays):

@@ -57,13 +57,19 @@ from .msm import (
 BL = 512  # bucket-tile lane width of the rounds kernel
 
 
-def _round_count(n: int, nb: int) -> int:
+def _round_count(n: int, nb: int, bits: int, c: int) -> int:
     """Static rounds covering the Poisson max bucket load: mean +
-    sqrt(2*mean*ln nb) + O(ln nb) (max of nb Poisson(mean) draws).  The exact
-    tail path covers anything beyond (adversarial skew)."""
+    sqrt(2*mean*ln nb) + O(ln nb) (max of nb Poisson(mean) draws).
+
+    The TOP window's digits span only 2^rb values (rb = (bits+1) mod c resid
+    bits), concentrating its load by 2^(c-1-rb): the mean is scaled so the
+    exact tail path stays a non-event for uniform scalars at ANY c.  The
+    window choice in fast_window avoids concentrating c values anyway."""
     import math
 
-    mean = max(1, n // nb)
+    rb = (bits + 1) % c
+    conc = 1 << max(0, c - 1 - rb) if rb else 1
+    mean = max(1, (n * conc) // nb)
     ln_nb = math.log(max(nb, 2))
     p = mean + math.ceil(math.sqrt(2.0 * mean * ln_nb)) + math.ceil(2 * ln_nb)
     return min(-(-p // 8) * 8, n)
@@ -294,16 +300,25 @@ def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
 
 
 def fast_window(n: int, bits: int) -> int:
-    """Empirical window choice for the rounds path: the reduction's
-    sequential scan makes big bucket counts cost more than the reference's
-    cost model assumes, so c sits below default_window."""
-    if n >= 1 << 22:
-        return 15
-    if n >= 1 << 17:
-        return 13
-    if n >= 1 << 13:
-        return 12
-    return 10
+    """Window choice for the rounds path.  Unlike the reference's cost model
+    (multiexp.go:76), the dominant term here is the padded dense-slot count
+    W * P * nb (gather bytes + kernel lanes), and c must keep the TOP window
+    un-concentrated ((bits+1) mod c == 0 or c-1, see _round_count) — for
+    bn254's 255 = 15*17 that makes c=15 exact."""
+    best, best_cost = None, None
+    for c in range(10, 18):
+        rb = (bits + 1) % c
+        if rb and rb != c - 1:
+            continue
+        nb = 1 << (c - 1)
+        if nb % BL and nb > BL:
+            continue
+        P = _round_count(n, nb, bits, c)
+        W = -(-(bits + 1) // c)
+        cost = W * P * nb
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best if best is not None else 15
 
 
 def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
@@ -330,7 +345,7 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
         # small windows: widen c so the kernel lane tile is full
         return msm_fast(cs, points, scalars, c=BL.bit_length(),
                         interpret=interpret)
-    n_rounds = _round_count(n, nb)
+    n_rounds = _round_count(n, nb, cs.fr.bits, c)
     acc, buckets, counts = _msm_all(cs, points, scalars, c, n_rounds,
                                     interpret)
     # lazy exact tail (adversarial skew only): one small host fetch

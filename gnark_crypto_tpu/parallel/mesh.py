@@ -21,3 +21,12 @@ def shard_batch(mesh: Mesh, arr, axis_name: str = "data", batch_axis: int = 1):
     spec = [None] * arr.ndim
     spec[batch_axis] = axis_name
     return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+
+def make_mesh_2d(n_window: int, n_data: int,
+                 axes: tuple[str, str] = ("window", "data")) -> Mesh:
+    """(window x data) mesh for the 2-D MSM layout (SURVEY.md §2.8 P3)."""
+    devs = jax.devices()
+    assert len(devs) >= n_window * n_data, "not enough devices"
+    arr = np.array(devs[: n_window * n_data]).reshape(n_window, n_data)
+    return Mesh(arr, axes)

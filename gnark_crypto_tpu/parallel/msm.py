@@ -82,3 +82,67 @@ def msm_sharded(
     fn = jax.jit(sharded)
     x, y, z = fn(points.x, points.y, scalars)
     return Jac(x, y, z)
+
+
+def msm_sharded_2d(
+    cs: CurveSpec,
+    mesh: Mesh,
+    points: Affine,
+    scalars: jax.Array,
+    c: int = 12,
+    chunk: int = DEFAULT_CHUNK,
+    window_axis: str = "window",
+    data_axis: str = "data",
+) -> Jac:
+    """MSM on a 2-D (window x data) mesh (SURVEY.md §2.8 P3 layout study).
+
+    Points/scalars are sharded along `data_axis` and replicated along
+    `window_axis`; each device processes only its 1/Dw slice of the signed
+    windows over its 1/Dd point shard, so per-device bucket memory and
+    window-loop latency shrink by Dw.  Combination: all_gather + fold over
+    the data axis (per local window), then all_gather over the window axis
+    to assemble the full window vector for the replicated Horner fold.
+
+    See parallel/MSM_LAYOUT.md for when this beats the 1-D layout."""
+    from ..msm.msm import signed_digits
+
+    n = points.x.shape[1]
+    ops = _ops_for_curve(cs)
+    n_dev = mesh.shape[data_axis]
+    d_w = mesh.shape[window_axis]
+    assert n % n_dev == 0
+    n_windows = -(-(cs.fr.bits + 1) // c)
+    w_local = -(-n_windows // d_w)
+    w_pad = w_local * d_w
+    nb = 1 << (c - 1)
+
+    def local_fn(px, py, s):
+        pts = Affine(px, py)
+        digits = signed_digits(cs.fr.bits, c, s)         # (W, n_loc)
+        digits = jnp.pad(digits, ((0, w_pad - n_windows), (0, 0)))
+        wi = jax.lax.axis_index(window_axis)
+        d_loc = jax.lax.dynamic_slice_in_dim(
+            digits, wi * w_local, w_local, axis=0)        # (w_local, n_loc)
+        from ..msm.msm import _all_window_buckets, _weighted_bucket_sums
+
+        buckets = _all_window_buckets(ops, pts, d_loc, nb, chunk)
+        ws = _weighted_bucket_sums(ops, buckets)          # (L, w_local)
+        # fold point shards: all_gather over data, tree-fold locally
+        g = [jax.lax.all_gather(a, data_axis, axis=1) for a in ws]
+        folded = _fold_axis0(cs, Jac(*g))                 # (L, w_local)
+        # assemble every window: all_gather over the window axis
+        g2 = [jax.lax.all_gather(a, window_axis, axis=1) for a in folded]
+        full = Jac(*(a.reshape(a.shape[0], w_pad) for a in g2))
+        sliced = Jac(*(a[:, :n_windows] for a in full))
+        acc = _horner_windows(ops, sliced, c)
+        return acc.x, acc.y, acc.z
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, data_axis), P(None, data_axis), P(None, data_axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    x, y, z = jax.jit(sharded)(points.x, points.y, scalars)
+    return Jac(x, y, z)

@@ -38,3 +38,27 @@ def test_msm_sharded_matches_oracle():
     got = point.affine_to_ints(cs, point.jac_to_affine(cs, got_jac))
     want = cs.ref.msm(scalars, pts)
     assert got.item() == want
+
+
+@pytest.mark.slow
+def test_msm_sharded_2d_matches_oracle():
+    """window x data 2-D mesh layout (parallel/MSM_LAYOUT.md)."""
+    from gnark_crypto_tpu.parallel import make_mesh_2d, msm_sharded_2d
+
+    cs = bn254()
+    rng = np.random.default_rng(2)
+    n = 64
+    G = cs.generator
+    pts = [cs.ref.mul(int(rng.integers(1, 2**60)), G) for _ in range(n)]
+    scalars = [int(rng.integers(0, 2**63)) % cs.fr.modulus for _ in range(n)]
+    base = point.affine_from_ints(cs, pts)
+    s = point.scalars_from_ints(cs, scalars)
+    mesh = make_mesh_2d(2, 4)
+    base = point.Affine(
+        shard_batch(mesh, base.x), shard_batch(mesh, base.y)
+    )
+    s = shard_batch(mesh, s)
+    got_jac = msm_sharded_2d(cs, mesh, base, s, c=6)
+    got = point.affine_to_ints(cs, point.jac_to_affine(cs, got_jac))
+    want = cs.ref.msm(scalars, pts)
+    assert got.item() == want

@@ -111,3 +111,17 @@ def test_joint_scalar_mul():
             assert host[i] is None or tuple(map(int, host[i])) == (0, 0)
         else:
             assert tuple(map(int, host[i])) == want
+
+
+def test_async_raw_io_roundtrip(tmp_path):
+    """Double-buffered raw dump/load (AsyncReadFrom analogue, SURVEY §2.8 P6)."""
+    import numpy as np
+
+    from gnark_crypto_tpu.utils import async_io
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 1 << 16, (16, 1000), dtype=np.uint32)
+    p = str(tmp_path / "arr.raw")
+    async_io.write_limb_array(p, arr)
+    back = async_io.read_limb_array_async(p, chunk_bytes=4096)
+    assert (np.asarray(back) == arr).all()
