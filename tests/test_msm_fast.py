@@ -6,17 +6,43 @@ purego analogue) over hand-built windows covering every group-law edge the
 kernel must select between: empty buckets, masked lanes, duplicate points
 (doubling), and P + (-P) cancellation."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
 import gnark_crypto_tpu.msm.pallas_msm as pm
 from gnark_crypto_tpu.curves import bn254
-from gnark_crypto_tpu.fields import mont
+from gnark_crypto_tpu.curves.reference import RefCurve
+from gnark_crypto_tpu.fields import PF, get_spec, mont
+
+
+@dataclasses.dataclass(frozen=True)
+class ToyCurve:
+    """Tiny curve over babybear: keeps the (field-generic) rounds kernel's
+    interpret-mode compile ~100x smaller than bn254's 16-limb instance."""
+
+    fp: object
+    a: int
+    b: int
+    ref: RefCurve
 
 
 @pytest.fixture(scope="module")
 def cs():
-    return bn254()
+    spec = get_spec("babybear")
+    p = spec.modulus
+    a, b = 0, 3
+    pf = PF(p)
+    # find a generator-ish point
+    for x in range(1, 100):
+        y = pf.sqrt((x * x * x + b) % p)
+        if y is not None:
+            break
+    curve = RefCurve(p, a, b)
+    cs = ToyCurve(fp=spec, a=a, b=b, ref=curve)
+    cs.ref._gen = (x, y)
+    return cs
 
 
 def _dense_from_buckets(cs, buckets_pts, nb, P):
@@ -50,7 +76,7 @@ def test_rounds_kernel_all_cases(cs, monkeypatch):
     monkeypatch.setattr(pm, "BL", 8)
     nb, P = 8, 4
     ref = cs.ref
-    G = cs.generator
+    G = cs.ref._gen
     pts = [ref.mul(k, G) for k in range(1, 9)]
     buckets = [
         [],                                            # empty bucket
