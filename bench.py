@@ -76,19 +76,20 @@ def _sync(x):
 
 
 def _uniform_scalars_fast(spec, n, rng):
-    """Vectorized full-width scalars: 16 extra random bits beyond the modulus
-    width make the non-uniformity < 2^-16 (irrelevant for benchmarking)."""
+    """Vectorized full-bit-width scalars < q.
+
+    The top limb is drawn uniformly in [0, q >> 16*(L-1)) so values use the
+    FULL modulus bit width (a clamped top limb concentrates the MSM's top
+    signed window into a fraction of its buckets, which is both
+    unrepresentative and tickles the skew tail path); the excluded sliver
+    above (q>>shift)<<shift is < 2^-13 of the range — irrelevant here."""
     n_limbs = spec.n_limbs
     limbs = rng.integers(0, 1 << 16, size=(n_limbs, n), dtype=np.uint32)
-    # fold a random multiple of q subtraction: compute v mod q via numpy
-    # object math only for a small correction set is too slow at 2^24 —
-    # instead clamp the top limb so v < 2^(bits-1) < q (keeps full entropy
-    # in bits-1 bits, still "full-width" for window loading purposes)
-    top_bits = spec.modulus.bit_length() - 1 - 16 * (n_limbs - 1)
-    if top_bits <= 0:
+    top = spec.modulus >> (16 * (n_limbs - 1))
+    if top <= 1:
         limbs[-1] = 0
     else:
-        limbs[-1] &= (1 << top_bits) - 1
+        limbs[-1] = rng.integers(0, top, size=n, dtype=np.uint32)
     return limbs
 
 

@@ -57,19 +57,20 @@ from .msm import (
 BL = 512  # bucket-tile lane width of the rounds kernel
 
 
-def _round_count(n: int, nb: int, bits: int, c: int) -> int:
+def _round_count(n: int, nb: int, modulus: int, c: int) -> int:
     """Static rounds covering the Poisson max bucket load: mean +
     sqrt(2*mean*ln nb) + O(ln nb) (max of nb Poisson(mean) draws).
 
-    The TOP window's digits span only 2^rb values (rb = (bits+1) mod c resid
-    bits), concentrating its load by 2^(c-1-rb): the mean is scaled so the
-    exact tail path stays a non-event for uniform scalars at ANY c.  The
-    window choice in fast_window avoids concentrating c values anyway."""
+    The TOP window's digits only span ceil(q / 2^((W-1)c)) values (scalars are
+    uniform mod q, not mod a power of two), concentrating its load relative
+    to the lower windows; the mean uses the exact span so the tail path stays
+    a non-event for uniform scalars at ANY c."""
     import math
 
-    rb = (bits + 1) % c
-    conc = 1 << max(0, c - 1 - rb) if rb else 1
-    mean = max(1, (n * conc) // nb)
+    bits = modulus.bit_length()
+    W = -(-(bits + 1) // c)
+    top_span = max(1, modulus >> ((W - 1) * c))
+    mean = max(1, n // nb, -(-n // top_span))
     ln_nb = math.log(max(nb, 2))
     p = mean + math.ceil(math.sqrt(2.0 * mean * ln_nb)) + math.ceil(2 * ln_nb)
     return min(-(-p // 8) * 8, n)
@@ -313,7 +314,7 @@ def fast_window(n: int, bits: int) -> int:
         nb = 1 << (c - 1)
         if nb % BL and nb > BL:
             continue
-        P = _round_count(n, nb, bits, c)
+        P = _round_count(n, nb, (1 << bits) - 1, c)
         W = -(-(bits + 1) // c)
         cost = W * P * nb
         if best_cost is None or cost < best_cost:
@@ -345,7 +346,7 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
         # small windows: widen c so the kernel lane tile is full
         return msm_fast(cs, points, scalars, c=BL.bit_length(),
                         interpret=interpret)
-    n_rounds = _round_count(n, nb, cs.fr.bits, c)
+    n_rounds = _round_count(n, nb, cs.fr.modulus, c)
     acc, buckets, counts = _msm_all(cs, points, scalars, c, n_rounds,
                                     interpret)
     # lazy exact tail (adversarial skew only): one small host fetch
