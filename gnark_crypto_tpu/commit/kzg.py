@@ -139,10 +139,20 @@ _to_host_point = digest  # backwards-compat alias
 
 def commit(cs: CurveSpec, pk: ProvingKey, poly: jax.Array) -> gp.Jac:
     """Commit = MSM(pk.G1[:len(p)], p) (kzg.go:159).  poly: mont fr coeffs
-    (n_limbs, N)."""
+    (n_limbs, N).  Large commitments on TPU route through the rounds-based
+    Pallas MSM (msm/pallas_msm.py); the exact segmented-scan path remains
+    the CPU/test route."""
     n = poly.shape[1]
     scalars = mont.from_mont(cs.fr, poly)
     pts = gp.Affine(pk.g1.x[:, :n], pk.g1.y[:, :n])
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and n >= (1 << 12):
+        from ..msm.pallas_msm import msm_fast
+
+        return msm_fast(cs, pts, scalars)
     return msm(cs, pts, scalars)
 
 

@@ -71,9 +71,27 @@ def _round_count(n: int, nb: int, modulus: int, c: int) -> int:
     W = -(-(bits + 1) // c)
     top_span = max(1, modulus >> ((W - 1) * c))
     mean = max(1, n // nb, -(-n // top_span))
+    return _poisson_rounds(n, nb, mean)
+
+
+def _poisson_rounds(n: int, nb: int, mean: int) -> int:
+    import math
+
     ln_nb = math.log(max(nb, 2))
     p = mean + math.ceil(math.sqrt(2.0 * mean * ln_nb)) + math.ceil(2 * ln_nb)
     return min(-(-p // 8) * 8, n)
+
+
+def _round_counts_split(n: int, nb: int, modulus: int, c: int) -> tuple:
+    """(P_main, P_top): the top window's digits span only
+    ceil(q / 2^((W-1)c)) values, concentrating its load; giving it its OWN
+    round count keeps the other W-1 windows' dense matrices ~20% smaller."""
+    bits = modulus.bit_length()
+    W = -(-(bits + 1) // c)
+    top_span = max(1, modulus >> ((W - 1) * c))
+    p_main = _poisson_rounds(n, nb, max(1, n // nb))
+    p_top = _poisson_rounds(n, nb, max(1, n // nb, -(-n // top_span)))
+    return p_main, p_top
 
 
 # ---------------------------------------------------------------------------
@@ -215,40 +233,55 @@ def _xyzz_to_jac(cs: CurveSpec, X, Y, ZZ, ZZZ) -> Jac:
     return Jac(xj, yj, zj)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
-                     n_rounds: int, interpret: bool):
+                     n_rounds: int, n_rounds_top: int, interpret: bool):
     """Returns (windowed bucket Jac tree (L, W, nb), counts (W, nb+1)).
 
-    Windows run under lax.map: ONE traced window body (compile stays flat in
-    W) executed sequentially, so only one window's dense candidate matrix is
-    live at a time (~2x the point data; 4 GB at 2^24/c=16)."""
+    The W-1 "main" windows run under lax.map: ONE traced window body (compile
+    stays flat in W) executed sequentially, so only one window's dense
+    candidate matrix is live at a time.  The TOP window runs separately with
+    its own larger round count — its digits span only q >> (W-1)c values
+    (_round_counts_split), so folding it into the shared count would inflate
+    every other window's dense matrix by ~20%."""
     f = cs.fp
     n = points.x.shape[1]
     nb = 1 << (c - 1)
     digits = signed_digits(cs.fr.bits, c, scalars)      # (W, n)
     a_plain = cs.a % f.modulus if cs.a else 0
-    iota_r = jnp.arange(n_rounds, dtype=jnp.int32)
     xy = jnp.concatenate([points.x, points.y], axis=0)  # (2*n16, n)
 
-    def window_body(d):
-        keys = jnp.abs(d)
-        order = jnp.argsort(keys).astype(jnp.int32)
-        counts = jnp.bincount(keys, length=nb + 1)
-        starts = jnp.cumsum(counts) - counts            # exclusive
-        pos = starts[1:][None, :] + iota_r[:, None]      # (P, nb)
-        valid = (iota_r[:, None] < counts[1:][None, :])
-        idx = order[jnp.clip(pos, 0, n - 1)]             # (P, nb)
-        dxy = jnp.moveaxis(xy[:, idx], 0, 1)             # (P, 2*n16, nb)
-        # candidate code: 0 none, 1 add, 2 add negated (sign applied in-kernel)
-        code = jnp.where(valid,
-                         jnp.where(d[idx] < 0, jnp.uint32(2), jnp.uint32(1)),
-                         jnp.uint32(0))
-        X, Y, ZZ, ZZZ = _run_rounds(
-            f, a_plain, n_rounds, nb, interpret, dxy, code[:, None, :])
-        return X, Y, ZZ, ZZZ, counts
+    def window_body(p_rounds):
+        iota_r = jnp.arange(p_rounds, dtype=jnp.int32)
 
-    bx, by, bzz, bzzz, counts_all = jax.lax.map(window_body, digits)
+        def body(d):
+            keys = jnp.abs(d)
+            order = jnp.argsort(keys).astype(jnp.int32)
+            counts = jnp.bincount(keys, length=nb + 1)
+            starts = jnp.cumsum(counts) - counts        # exclusive
+            pos = starts[1:][None, :] + iota_r[:, None]  # (P, nb)
+            valid = (iota_r[:, None] < counts[1:][None, :])
+            idx = order[jnp.clip(pos, 0, n - 1)]         # (P, nb)
+            dxy = jnp.moveaxis(xy[:, idx], 0, 1)         # (P, 2*n16, nb)
+            # candidate code: 0 none, 1 add, 2 add negated (in-kernel sign)
+            code = jnp.where(
+                valid,
+                jnp.where(d[idx] < 0, jnp.uint32(2), jnp.uint32(1)),
+                jnp.uint32(0))
+            X, Y, ZZ, ZZZ = _run_rounds(
+                f, a_plain, p_rounds, nb, interpret, dxy, code[:, None, :])
+            return X, Y, ZZ, ZZZ, counts
+
+        return body
+
+    bx, by, bzz, bzzz, counts_all = jax.lax.map(
+        window_body(n_rounds), digits[:-1])
+    tx, ty, tzz, tzzz, tcounts = window_body(n_rounds_top)(digits[-1])
+    bx, by, bzz, bzzz = (
+        jnp.concatenate([a, t[None]], axis=0)
+        for a, t in ((bx, tx), (by, ty), (bzz, tzz), (bzzz, tzzz))
+    )
+    counts_all = jnp.concatenate([counts_all, tcounts[None]], axis=0)
     arrange = lambda a: jnp.moveaxis(a, 0, 1)           # (n16, W, nb)
     buckets = _xyzz_to_jac(cs, arrange(bx), arrange(by), arrange(bzz),
                            arrange(bzzz))
@@ -257,26 +290,25 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _tail_buckets(cs: CurveSpec, points: Affine, scalars, c: int,
-                  counts, n_rounds: int):
+                  counts, rounds_vec):
     """EXACT segmented-scan bucket sums of only the points a window's rounds
-    did not consume (bucket loads > n_rounds) — compiled lazily, only ever
-    executed on skewed inputs."""
+    did not consume (bucket loads > that window's round count) — compiled
+    lazily, only ever executed on skewed inputs.  rounds_vec: (W,) int32."""
     ops = _ops_for_curve(cs)
     digits = signed_digits(cs.fr.bits, c, scalars)
-    keys = jnp.abs(digits)                               # (W, n)
     # rank of each point within its (window, bucket) group == number of
     # same-key predecessors; recover it from the sort: rank[order[i]] =
     # i - starts[key_sorted[i]]
-    def per_window(d, cnts):
+    def per_window(d, cnts, p_rounds):
         k = jnp.abs(d)
         order = jnp.argsort(k).astype(jnp.int32)
         starts = jnp.cumsum(cnts) - cnts
         i = jnp.arange(d.shape[0], dtype=jnp.int32)
         rank_sorted = i - starts[k[order]].astype(jnp.int32)
         rank = jnp.zeros_like(i).at[order].set(rank_sorted)
-        return jnp.where(rank >= n_rounds, d, 0)
+        return jnp.where(rank >= p_rounds, d, 0)
 
-    masked = jax.vmap(per_window)(digits, counts)
+    masked = jax.vmap(per_window)(digits, counts, rounds_vec)
     nb = 1 << (c - 1)
     return _all_window_buckets(ops, points, masked, nb, DEFAULT_CHUNK)
 
@@ -287,14 +319,14 @@ def _reduce_windows(cs: CurveSpec, buckets, c: int):
     return _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
-             n_rounds: int, interpret: bool):
+             n_rounds: int, n_rounds_top: int, interpret: bool):
     """End-to-end common path in ONE compiled program: rounds core + window
-    reduction.  Returns (result Jac, buckets, max bucket load) — buckets stay
-    on device for the rare tail fix-up, only the max is fetched."""
+    reduction.  Returns (result Jac, buckets, counts) — buckets stay on
+    device for the rare tail fix-up, only counts are fetched."""
     buckets, counts = _msm_rounds_core(cs, points, scalars, c, n_rounds,
-                                       interpret)
+                                       n_rounds_top, interpret)
     ops = _ops_for_curve(cs)
     acc = _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
     return acc, buckets, counts
@@ -346,13 +378,18 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
         # small windows: widen c so the kernel lane tile is full
         return msm_fast(cs, points, scalars, c=BL.bit_length(),
                         interpret=interpret)
-    n_rounds = _round_count(n, nb, cs.fr.modulus, c)
-    acc, buckets, counts = _msm_all(cs, points, scalars, c, n_rounds,
+    p_main, p_top = _round_counts_split(n, nb, cs.fr.modulus, c)
+    acc, buckets, counts = _msm_all(cs, points, scalars, c, p_main, p_top,
                                     interpret)
     # lazy exact tail (adversarial skew only): one small host fetch
-    mx = int(np.asarray(counts)[:, 1:].max())
-    if mx > n_rounds:
-        tails = _tail_buckets(cs, points, scalars, c, counts, n_rounds)
+    counts_h = np.asarray(counts)[:, 1:]
+    exceeded = (counts_h[:-1].max() > p_main if counts_h.shape[0] > 1
+                else False) or counts_h[-1].max() > p_top
+    if exceeded:
+        w = counts_h.shape[0]
+        rounds_vec = jnp.asarray([p_main] * (w - 1) + [p_top],
+                                 dtype=jnp.int32)
+        tails = _tail_buckets(cs, points, scalars, c, counts, rounds_vec)
         buckets = jac_add(cs, buckets, tails)
         acc = _reduce_windows(cs, buckets, c)
     return acc

@@ -72,6 +72,57 @@ def _line_sparse(st: PairingStack, a0, a1, a3, xp, yp) -> jax.Array:
     return sparse_line(st, {0: _mul_xi(st, c_y), 3: a3, 5: c_x}, batch)
 
 
+def _cubic_mul_sparse(st: PairingStack, cub, a, d: tuple):
+    """a * (d0 + d1 v + d2 v^2) over the cubic with None entries structurally
+    zero (schoolbook over nonzero coefficients)."""
+    tf = st.tf
+    nz = [(i, di) for i, di in enumerate(d) if di is not None]
+    if len(nz) == 3:
+        return cub.mul(a, cub.join(list(d)))
+    comps = cub.split(a)
+    acc = [None, None, None]
+    for i, di in nz:
+        for j, bj in enumerate(comps):
+            p = tf.mul(bj, di)
+            k = i + j
+            if k >= 3:
+                p = _mul_xi(st, p)
+                k -= 3
+            acc[k] = p if acc[k] is None else tf.add(acc[k], p)
+    batch = comps[0].shape[1:]
+    return cub.join([x if x is not None else tf.zeros(batch) for x in acc])
+
+
+def mul_line(st: PairingStack, f: jax.Array, line: jax.Array) -> jax.Array:
+    """f * line for a sparse line (3 nonzero w-coefficients: {0,1,3} D-twist,
+    {0,3,5} M-twist) — the generic-stack analogue of MulBy034/MulBy014
+    (fptower/e12_pairing.go:136): Karatsuba over the quadratic layer with
+    sparse cubic sub-products, 15 tf muls vs 18 for the full mul."""
+    K = st.full
+    cub = K.base
+    tf = st.tf
+    A, B = K.split(f)
+    if st.twist == "D":
+        d0 = _w_block(K, tf, line, 0)
+        d1 = _w_block(K, tf, line, 1)
+        d3 = _w_block(K, tf, line, 3)
+        t0 = _cubic_mul_sparse(st, cub, A, (d0, None, None))
+        t1 = _cubic_mul_sparse(st, cub, B, (d1, d3, None))
+        mid = _cubic_mul_sparse(st, cub, cub.add(A, B),
+                                (tf.add(d0, d1), d3, None))
+    else:
+        d0 = _w_block(K, tf, line, 0)
+        d3 = _w_block(K, tf, line, 3)
+        d5 = _w_block(K, tf, line, 5)
+        t0 = _cubic_mul_sparse(st, cub, A, (d0, None, None))
+        t1 = _cubic_mul_sparse(st, cub, B, (None, d3, d5))
+        mid = _cubic_mul_sparse(st, cub, cub.add(A, B), (d0, d3, d5))
+    # (A + Bw)(C + Dw), w^2 = v: c0 = AC + v*BD, c1 = mid - AC - BD
+    c0 = cub.add(t0, cub.mul_gen(t1))
+    c1 = cub.sub(cub.sub(mid, t0), t1)
+    return K.join([c0, c1])
+
+
 class G2Proj(NamedTuple):
     x: jax.Array
     y: jax.Array
@@ -234,13 +285,13 @@ def _miller_loop_bw6(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:
         f, t = carry
         f = K.square(f)
         t, line = _double_step(st, t, xp, yp)
-        f = K.mul(f, line)
+        f = mul_line(st, f, line)
         for dig, qq in ((dig1, q1), (dig0, q)):
             qa = AffineF(qq.x, tf.select(
                 jnp.broadcast_to(dig < 0, batch), tf.neg(qq.y), qq.y))
             t_add, line_add = _add_step(st, t, qa, xp, yp)
             mask = jnp.broadcast_to(dig != 0, batch)
-            f = K.select(mask, K.mul(f, line_add), f)
+            f = K.select(mask, mul_line(st, f, line_add), f)
             t = G2Proj(
                 tf.select(mask, t_add.x, t.x),
                 tf.select(mask, t_add.y, t.y),
@@ -277,9 +328,9 @@ def miller_loop(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:
         f, t = carry
         f = K.square(f)
         t, line = _double_step(st, t, xp, yp)
-        f = K.mul(f, line)
+        f = mul_line(st, f, line)
         t_add, line_add = _add_step(st, t, q, xp, yp)
-        f_add = K.mul(f, line_add)
+        f_add = mul_line(st, f, line_add)
         mask = jnp.broadcast_to(bit, batch)
         f = K.select(mask, f_add, f)
         t = G2Proj(
@@ -296,9 +347,9 @@ def miller_loop(st: PairingStack, p: AffineF, q: AffineF) -> jax.Array:
         q2 = _g2_psi(st, q, 2)
         q2 = AffineF(q2.x, tf.neg(q2.y))
         t, l1 = _add_step(st, t, q1, xp, yp)
-        f = K.mul(f, l1)
+        f = mul_line(st, f, l1)
         t, l2 = _add_step(st, t, q2, xp, yp)
-        f = K.mul(f, l2)
+        f = mul_line(st, f, l2)
     elif m < 0:
         f = K.conj(f)
 

@@ -162,9 +162,9 @@ def miller_loop(tw: Tower, p: Affine, q: G2Affine) -> E12:
         f, t = carry
         f = tw.e12_square(f)
         t, line = _double_step(tw, t, xp, yp)
-        f = tw.e12_mul(f, line)
+        f = tw.e12_mul_line(f, line)
         t_add, line_add = _add_step(tw, t, q, xp, yp)
-        f_add = tw.e12_mul(f, line_add)
+        f_add = tw.e12_mul_line(f, line_add)
         mask = jnp.broadcast_to(bit, batch)
         f = tw.e12_select(mask, f_add, f)
         t = G2Proj(
@@ -181,9 +181,9 @@ def miller_loop(tw: Tower, p: Affine, q: G2Affine) -> E12:
         q2 = _g2_frobenius(tw, q, 2)
         q2 = G2Affine(q2.x, tw.e2_neg(q2.y))
         t, l1 = _add_step(tw, t, q1, xp, yp)
-        f = tw.e12_mul(f, l1)
+        f = tw.e12_mul_line(f, l1)
         t, l2 = _add_step(tw, t, q2, xp, yp)
-        f = tw.e12_mul(f, l2)
+        f = tw.e12_mul_line(f, l2)
     elif ts.seed < 0:
         f = tw.e12_conj(f)
 

@@ -249,3 +249,26 @@ def test_generic_pairing_bls24_315():
     got = st.full.to_ints(jax.jit(lambda p, q: ate.pair(st, p, q))(p_dev, q_dev))
     assert K.eq(got[1], e0)
     assert K.eq(got[0], K.pow(e0, a * b % st.r))
+
+
+@pytest.mark.slow
+def test_generic_mul_line_matches_full():
+    """Generic-stack sparse line mul (ate.mul_line) == full mul, both twists."""
+    import jax
+    import numpy as np
+
+    from gnark_crypto_tpu.pairing import ate
+    from gnark_crypto_tpu.towers.stacks import stack
+
+    for name in ("bls12_377", "bls12_381"):   # D-twist and M-twist
+        st = stack(name)
+        K, tf = st.full, st.tf
+        rng = np.random.default_rng(13)
+        f_host = st.host_full.rand(rng)
+        f = K.from_ints([f_host])
+        slots = (0, 1, 3) if st.twist == "D" else (0, 3, 5)
+        entries = {k: tf.from_ints([st.host_tf.rand(rng)]) for k in slots}
+        line = ate.sparse_line(st, entries, (1,))
+        got = jax.jit(lambda a, b: ate.mul_line(st, a, b))(f, line)
+        want = jax.jit(lambda a, b: K.mul(a, b))(f, line)
+        assert (np.asarray(got) == np.asarray(want)).all(), name
