@@ -64,6 +64,39 @@ class Iopp:
         self.nb_steps = (size).bit_length() - 1 + 0  # fold down to rho points
         self.pf = PF(spec.modulus)
 
+    # sorted <-> canonical index maps (fri.go:202-248 public surface)
+    @staticmethod
+    def convert_canonical_sorted(i: int, n: int) -> int:
+        """Canonical index -> its position in the fiber-sorted layout
+        {q(g^0), q(g^(n/2)), q(g^1), ...} (convertCanonicalSorted,
+        fri.go:201)."""
+        if i < n // 2:
+            return 2 * i
+        l = 2 * (n - (i + 1))
+        return n - l - 1
+
+    @staticmethod
+    def sort_evals(evals):
+        """Canonical evaluation order -> fiber-sorted pairs (x, -x) adjacent
+        (sort, fri.go:236)."""
+        n = len(evals) // 2
+        out = [None] * (2 * n)
+        for i in range(n):
+            out[2 * i] = evals[i]
+            out[2 * i + 1] = evals[i + n]
+        return out
+
+    def derive_queries_positions(self, pos: int, size: int) -> list[int]:
+        """Per-round query positions in sorted form
+        (deriveQueriesPositions, fri.go:219)."""
+        s = size // 2
+        res = [pos]
+        for _ in range(1, self.nb_steps):
+            t = (res[-1] - (res[-1] % 2)) // 2
+            res.append(self.convert_canonical_sorted(t, s))
+            s //= 2
+        return res
+
     # paired order: position i holds (f(w^i), f(w^(i + n/2))) = (f(x), f(-x))
     def _pairs(self, evals: np.ndarray) -> list[bytes]:
         n = len(evals)

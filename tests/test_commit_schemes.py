@@ -138,3 +138,17 @@ def test_registry():
     h = registry.new_hash("MIMC_BN254_FR")
     assert h.rounds == 110
     assert registry.signature_scheme("EDDSA") is not None
+
+
+def test_fri_index_maps():
+    """sorted<->canonical index surface (fri.go:201-248)."""
+    from gnark_crypto_tpu.commit.fri import Iopp
+    from gnark_crypto_tpu.fields import get_spec
+
+    n = 16
+    # sort_evals puts canonical i and i+n/2 adjacent; convert_canonical_sorted
+    # must give each canonical index its sorted position
+    evals = list(range(n))
+    sorted_e = Iopp.sort_evals(evals)
+    for i in range(n):
+        assert sorted_e[Iopp.convert_canonical_sorted(i, n)] == evals[i], i
