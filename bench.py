@@ -208,6 +208,13 @@ def _stage(extras, key, min_left, fn):
 def main():
     extras = {"backend": jax.default_backend(), "deadline_s": DEADLINE}
     _log(f"start, backend={jax.default_backend()}")
+    # SURVEY §5: profiling baked in — BENCH_PROFILE=1 wraps the run in a
+    # jax.profiler trace (inspect with tensorboard / xprof)
+    prof_dir = None
+    if os.environ.get("BENCH_PROFILE"):
+        prof_dir = os.environ.get("BENCH_PROFILE_DIR", "/tmp/gnark_tpu_trace")
+        jax.profiler.start_trace(prof_dir)
+        extras["profile_trace_dir"] = prof_dir
 
     # Stage order: flagship first (MSM is THE reference headline,
     # multiexp_test.go:301), so a late-stage crash can never zero it out.
@@ -240,6 +247,8 @@ def main():
         extras[f"ntt_2^{LOG2_NTT_BIG}_seconds_bn254_fr"] = round(r, 4)
         _log(f"ntt 2^{LOG2_NTT_BIG} {r:.4f}s")
 
+    if prof_dir is not None:
+        jax.profiler.stop_trace()
     extras["bench_wall_seconds"] = round(time.time() - _T0, 1)
     if msm_pps is not None:
         result = {

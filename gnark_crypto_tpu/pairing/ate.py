@@ -15,10 +15,10 @@ function is sparse with three tf coefficients in fixed w-power slots:
 mul fusion a la MulBy034 / fptower/e24_pairing.go is a later optimization).
 
 Final exponentiation: generic easy part (f^(p^{k/2}-1) via conj, then
-frobenius fold) + scanned hard part Phi_k(p)/r.  NOTE for bw6: gnark
-exponentiates by (x0+1)*Phi_6(p)/r (Algorithm 4.4, El Housni's thesis) — a
-fixed coprime multiple of our exponent, so PairingCheck/bilinearity semantics
-agree but raw GT bytes differ from gnark on that family.
+frobenius fold) + the family hard-part ladders of cyclotomic.py — including
+the El Housni-Guillevic cofactors s = |x0+1| (bw6-761) and |x0^5-x0^4-x0| at
+the SIGNED seed (bw6-633), so GT values are identical to gnark on every
+family.
 """
 
 from __future__ import annotations
