@@ -277,6 +277,42 @@ def _unscramble_indices(splits: list[int]) -> "jnp.ndarray":
     return src
 
 
+def _br_idx(bits: int) -> np.ndarray:
+    n = 1 << bits
+    idx = np.arange(n)
+    out = np.zeros_like(idx)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out
+
+
+def _unscramble(x, splits: list[int]):
+    """Natural-order gather decomposed into per-axis bit-reversal takes and
+    one transpose.  A flat take at 2^24 moves 4-byte elements at the chip's
+    slow gather rate (~0.4 s); viewing the state as (j_k, j_1, ..., j_{k-1})
+    turns the same permutation into k small-axis row gathers (contiguous
+    multi-KB rows -> DMA-speed) plus one transpose, with the one unavoidable
+    innermost-axis reversal deferred until AFTER the transpose moves that
+    axis off the lane dimension."""
+    k = len(splits)
+    L = x.shape[0]
+    n = x.shape[1]
+    if k < 3:
+        return jnp.take(x, _unscramble_indices(splits), axis=1)
+    dims = (1 << splits[-1],) + tuple(1 << s for s in splits[:-1])
+    widths = (splits[-1],) + tuple(splits[:-1])
+    xs = x.reshape((L,) + dims)
+    # reverse every axis except the (innermost) j_{k-1}
+    for ax in range(k - 1):
+        xs = jnp.take(xs, jnp.asarray(_br_idx(widths[ax])), axis=1 + ax)
+    # (0, j_k, j_1, ..., j_{k-1}) -> (0, f_k, f_{k-1}, ..., f_1)
+    perm = (0, 1) + tuple(range(k, 1, -1))
+    xs = jnp.transpose(xs, perm)
+    # the old innermost axis (j_{k-1}) now sits at position 2
+    xs = jnp.take(xs, jnp.asarray(_br_idx(widths[k - 1])), axis=2)
+    return xs.reshape(L, n)
+
+
 def fused_available(spec: FieldSpec, n: int) -> bool:
     try:
         kspec(spec)
@@ -323,7 +359,7 @@ def _ntt_fused_impl(spec: FieldSpec, splits: tuple, inverse: bool,
             pre *= R
             N = post
     x = x.reshape(spec.n_limbs, n)
-    out = jnp.take(x, _unscramble_indices(splits), axis=1)
+    out = _unscramble(x, list(splits))
     if inverse:
         out = mont.mul_const(spec, out, pow(n, -1, spec.modulus))
     return out
