@@ -235,7 +235,8 @@ def _xyzz_to_jac(cs: CurveSpec, X, Y, ZZ, ZZZ) -> Jac:
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
-                     n_rounds: int, n_rounds_top: int, interpret: bool):
+                     n_rounds: int, n_rounds_top: int, interpret: bool,
+                     offsets=None):
     """Returns (windowed bucket Jac tree (L, W, nb), counts (W, nb+1)).
 
     The W-1 "main" windows run under lax.map: ONE traced window body (compile
@@ -243,24 +244,33 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
     candidate matrix is live at a time.  The TOP window runs separately with
     its own larger round count — its digits span only q >> (W-1)c values
     (_round_counts_split), so folding it into the shared count would inflate
-    every other window's dense matrix by ~20%."""
+    every other window's dense matrix by ~20%.
+
+    offsets (traced (W,) int32, or None): skip that many leading entries of
+    every bucket run — the overflow fix-up reruns this same compiled program
+    to consume ranks [off, off+P) (msm_fast's pass loop)."""
     f = cs.fp
     n = points.x.shape[1]
     nb = 1 << (c - 1)
     digits = signed_digits(cs.fr.bits, c, scalars)      # (W, n)
+    W = digits.shape[0]
+    if offsets is None:
+        offsets = jnp.zeros((W,), jnp.int32)
     a_plain = cs.a % f.modulus if cs.a else 0
     xy = jnp.concatenate([points.x, points.y], axis=0)  # (2*n16, n)
 
     def window_body(p_rounds):
         iota_r = jnp.arange(p_rounds, dtype=jnp.int32)
 
-        def body(d):
+        def body(args):
+            d, off = args
             keys = jnp.abs(d)
             order = jnp.argsort(keys).astype(jnp.int32)
             counts = jnp.bincount(keys, length=nb + 1)
             starts = jnp.cumsum(counts) - counts        # exclusive
-            pos = starts[1:][None, :] + iota_r[:, None]  # (P, nb)
-            valid = (iota_r[:, None] < counts[1:][None, :])
+            rk = off + iota_r
+            pos = starts[1:][None, :] + rk[:, None]      # (P, nb)
+            valid = (rk[:, None] < counts[1:][None, :])
             idx = order[jnp.clip(pos, 0, n - 1)]         # (P, nb)
             dxy = jnp.moveaxis(xy[:, idx], 0, 1)         # (P, 2*n16, nb)
             # candidate code: 0 none, 1 add, 2 add negated (in-kernel sign)
@@ -275,8 +285,9 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
         return body
 
     bx, by, bzz, bzzz, counts_all = jax.lax.map(
-        window_body(n_rounds), digits[:-1])
-    tx, ty, tzz, tzzz, tcounts = window_body(n_rounds_top)(digits[-1])
+        window_body(n_rounds), (digits[:-1], offsets[:-1]))
+    tx, ty, tzz, tzzz, tcounts = window_body(n_rounds_top)(
+        (digits[-1], offsets[-1]))
     bx, by, bzz, bzzz = (
         jnp.concatenate([a, t[None]], axis=0)
         for a, t in ((bx, tx), (by, ty), (bzz, tzz), (bzzz, tzzz))
@@ -321,12 +332,13 @@ def _reduce_windows(cs: CurveSpec, buckets, c: int):
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
-             n_rounds: int, n_rounds_top: int, interpret: bool):
+             n_rounds: int, n_rounds_top: int, interpret: bool,
+             offsets=None):
     """End-to-end common path in ONE compiled program: rounds core + window
     reduction.  Returns (result Jac, buckets, counts) — buckets stay on
-    device for the rare tail fix-up, only counts are fetched."""
+    device for the rare overflow fix-up, only counts are fetched."""
     buckets, counts = _msm_rounds_core(cs, points, scalars, c, n_rounds,
-                                       n_rounds_top, interpret)
+                                       n_rounds_top, interpret, offsets)
     ops = _ops_for_curve(cs)
     acc = _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
     return acc, buckets, counts
@@ -379,17 +391,38 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
         return msm_fast(cs, points, scalars, c=BL.bit_length(),
                         interpret=interpret)
     p_main, p_top = _round_counts_split(n, nb, cs.fr.modulus, c)
+    n_w = -(-(cs.fr.bits + 1) // c)
+    zero_offs = jnp.zeros((n_w,), jnp.int32)
+    # always pass an offsets array so the first call and any overflow passes
+    # share ONE compiled program
     acc, buckets, counts = _msm_all(cs, points, scalars, c, p_main, p_top,
-                                    interpret)
-    # lazy exact tail (adversarial skew only): one small host fetch
+                                    interpret, zero_offs)
+    # overflow fix-up (one small host fetch per pass): real-world skew (e.g.
+    # narrow-bit-width scalars concentrating a window) reruns the SAME
+    # compiled rounds program with per-window rank offsets — no new compiles;
+    # the exact segmented-scan tail remains the last resort for pathological
+    # skew (all-equal scalars).
     counts_h = np.asarray(counts)[:, 1:]
-    exceeded = (counts_h[:-1].max() > p_main if counts_h.shape[0] > 1
-                else False) or counts_h[-1].max() > p_top
-    if exceeded:
-        w = counts_h.shape[0]
-        rounds_vec = jnp.asarray([p_main] * (w - 1) + [p_top],
-                                 dtype=jnp.int32)
+    w = counts_h.shape[0]
+    consumed = np.array([p_main] * (w - 1) + [p_top], dtype=np.int64)
+    max_loads = counts_h.max(axis=1)
+    merged = False
+    for _ in range(3):
+        if not (max_loads > consumed).any():
+            break
+        offs = jnp.asarray(np.minimum(consumed, np.iinfo(np.int32).max),
+                           dtype=jnp.int32)
+        _, buckets2, _ = _msm_all(cs, points, scalars, c, p_main, p_top,
+                                  interpret, offs)
+        buckets = jac_add(cs, buckets, buckets2)
+        merged = True
+        consumed = consumed + np.array([p_main] * (w - 1) + [p_top],
+                                       dtype=np.int64)
+    if (max_loads > consumed).any():
+        rounds_vec = jnp.asarray(consumed, dtype=jnp.int32)
         tails = _tail_buckets(cs, points, scalars, c, counts, rounds_vec)
         buckets = jac_add(cs, buckets, tails)
+        merged = True
+    if merged:
         acc = _reduce_windows(cs, buckets, c)
     return acc

@@ -111,7 +111,9 @@ def gate_kzg(log2_srs: int):
     q = cs.fr.modulus
     rng = np.random.default_rng(2)
     deg = size - 1
-    coeffs = [int(x) % q for x in rng.integers(0, 2**61, deg)]
+    # full-bit-width coefficients (narrow ones concentrate MSM windows)
+    raw = rng.integers(0, 256, size=(deg, 32), dtype=np.uint8)
+    coeffs = [int.from_bytes(r.tobytes(), "big") % q for r in raw]
     poly = mont.from_ints(cs.fr, coeffs)
     t0 = time.time()
     C = kzg.commit(cs, srs.pk, poly)
