@@ -34,3 +34,52 @@ try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:
     pass
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# Fast/slow tier split (VERDICT r03 #7): the fast tier (`-m "not slow"`,
+# ideally with `-n 2`) must stay runnable cold; compile-heavy files and
+# parametrizations are auto-marked slow here (centralized — measured with
+# tools/time_tests.sh).  Slow-tier coverage still runs in full test sessions.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILE_PREFIXES = (
+    "test_fused_point.py",     # pallas interpret of full point kernels
+    "test_kernel_lang.py",     # kernel-radix CIOS compile per field
+    "test_gt.py",              # E12 Karabina/torus graph compiles
+    "test_cyclotomic.py",      # hard-part ladders per family
+    "test_hash_to_g2.py",      # sqrt_ratio exponent chains per curve
+    "test_pairing.py",         # Miller loop + final exp compiles
+    "test_towers.py",
+    "test_new_families.py",
+    "test_commit_schemes.py",  # FRI/SHPLONK/FFLONK prove+verify
+    "test_plookup.py",
+    "test_sswu.py",
+)
+
+# individual tests inside slow files that stay fast (host-side / tiny)
+_FAST_IDS = (
+    "cofactor_pinned",
+    "index_maps",
+)
+
+# parametrized field subsets: only these stay in the fast tier for the
+# widest field/fft sweeps
+_FAST_FIELDS = ("bn254_fr", "bn254_fp", "babybear", "goldilocks")
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        nodeid = item.nodeid
+        if any(k in nodeid for k in _FAST_IDS):
+            continue
+        fname = nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if fname.startswith(_SLOW_FILE_PREFIXES):
+            item.add_marker(slow)
+            continue
+        if fname in ("test_fields.py", "test_fft.py") and "[" in nodeid:
+            param = nodeid[nodeid.index("[") + 1 : -1]
+            if not any(fld in param for fld in _FAST_FIELDS):
+                item.add_marker(slow)
