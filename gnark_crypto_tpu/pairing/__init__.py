@@ -1,3 +1,12 @@
+from .gt import (
+    batch_compress_torus,
+    batch_decompress_karabina,
+    compress_torus,
+    cyclotomic_square_compressed,
+    decompress_karabina,
+    decompress_torus,
+    gt_is_in_subgroup,
+)
 from .pairing import (
     G2Affine,
     final_exponentiation,
@@ -20,4 +29,11 @@ __all__ = [
     "pair",
     "pairing_check",
     "pairing_ctx",
+    "cyclotomic_square_compressed",
+    "decompress_karabina",
+    "batch_decompress_karabina",
+    "compress_torus",
+    "decompress_torus",
+    "batch_compress_torus",
+    "gt_is_in_subgroup",
 ]
