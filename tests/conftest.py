@@ -64,6 +64,13 @@ _FAST_IDS = (
     "index_maps",
 )
 
+# pairing-backed KZG verifies are compile-heavy; commitment/open math is not
+_SLOW_IDS = (
+    "test_kzg.py::test_open_verify_roundtrip",
+    "test_kzg.py::test_batch_open_verify",
+    "test_kzg.py::test_fold_proof_and_multi_points",
+)
+
 # parametrized field subsets: only these stay in the fast tier for the
 # widest field/fft sweeps
 _FAST_FIELDS = ("bn254_fr", "bn254_fp", "babybear", "goldilocks")
@@ -77,6 +84,10 @@ def pytest_collection_modifyitems(config, items):
             continue
         fname = nodeid.split("::")[0].rsplit("/", 1)[-1]
         if fname.startswith(_SLOW_FILE_PREFIXES):
+            item.add_marker(slow)
+            continue
+        if any(nodeid.endswith(s.split("::")[1]) and s.split("::")[0] == fname
+               for s in _SLOW_IDS):
             item.add_marker(slow)
             continue
         if fname in ("test_fields.py", "test_fft.py") and "[" in nodeid:
