@@ -125,7 +125,10 @@ class Polynomial:
 
     def to_bytes(self) -> bytes:
         """Coefficients (big-endian canonical, element-major) followed by
-        (basis, layout, shift, size) as uint32 — the reference's wire shape."""
+        (basis, layout, shift, size) as uint32.  NB this is an INTERNAL
+        format: gnark's Polynomial.WriteTo (polynomial.go:393) additionally
+        writes a uint32 vector-length prefix and a trailing coset field, so
+        the bytes are not wire-compatible with the reference."""
         import numpy as np
 
         ints = mont.to_ints(self.spec, self.coeffs)

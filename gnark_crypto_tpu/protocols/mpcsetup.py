@@ -202,8 +202,20 @@ def verify_update(cs: CurveSpec, tw, proof: UpdateProof, challenge: bytes,
     per group over random linear combinations of (previous, next) sets."""
     r_mod = cs.fr.modulus
     tc = twist_curve(tw.ts)
-    if proof.contribution_commitment is None:
+    if proof.contribution_commitment is None or proof.contribution_pok is None:
         return False                      # zero contribution not allowed
+    # on-curve + subgroup membership of the proof points (mpcsetup.go:93
+    # Verify: IsInSubGroup on both contributionCommitment and contributionPok)
+    # BEFORE any pairing — a forged off-curve / out-of-subgroup point (the
+    # twist has a large cofactor) must never reach sameRatio.
+    if not cs.ref.is_on_curve(proof.contribution_commitment):
+        return False
+    if cs.ref.mul(r_mod, proof.contribution_commitment) is not None:
+        return False
+    if not tc.is_on_curve(proof.contribution_pok):
+        return False
+    if tc.mul(r_mod, proof.contribution_pok) is not None:
+        return False
     g1_prev = [P for k, pts in previous if k == "g1" for P in pts]
     g1_next = [P for k, pts in next_ if k == "g1" for P in pts]
     g2_prev = [P for k, pts in previous if k == "g2" for P in pts]

@@ -258,8 +258,8 @@ def verify_lookup_tables(cs: CurveSpec, tw, srs: kzg.SRS,
 
     fr = cs.fr
     q = fr.modulus
-    if len(proof.fs) != len(proof.ts):
-        return False
+    if len(proof.fs) != len(proof.ts) or not proof.fs:
+        return False                      # malformed: empty commitment lists
     tr = Transcript("sha256", ["lambda"])
     for cpt in proof.fs + proof.ts:
         tr.bind("lambda", str(cpt).encode())

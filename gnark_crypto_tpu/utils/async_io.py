@@ -49,6 +49,10 @@ def read_limb_array_async(path: str, chunk_bytes: int = 1 << 24):
     shape = tuple(hdr["shape"])
     dtype = np.dtype(hdr["dtype"])
     total = int(np.prod(shape)) * dtype.itemsize
+    # chunks must split on element boundaries (np.frombuffer rejects partial
+    # items), and a short read must fail loudly, not as a reshape error later
+    chunk_bytes = max(dtype.itemsize,
+                      chunk_bytes - chunk_bytes % dtype.itemsize)
 
     q: "queue.Queue[bytes | None]" = queue.Queue(maxsize=2)  # double buffer
 
@@ -67,13 +71,18 @@ def read_limb_array_async(path: str, chunk_bytes: int = 1 << 24):
     t.start()
 
     parts = []
+    received = 0
     while True:
         buf = q.get()
         if buf is None:
             break
+        received += len(buf)
         host = np.frombuffer(buf, dtype=dtype)
         parts.append(jax.device_put(host))   # async: enqueued, not awaited
     t.join()
+    if received != total:
+        raise EOFError(
+            f"{path}: short read, got {received} of {total} bytes")
     flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     return flat.reshape(shape)
 
