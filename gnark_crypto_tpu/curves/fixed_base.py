@@ -68,22 +68,30 @@ def _digits(fr, c: int, scalars: jax.Array, n_windows: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _run_kernel_path(cs: CurveSpec, txy, digits, m: int, K: int,
                      interpret: bool) -> Jac:
-    """txy: (W, 2^c, 2*n16) point-major table; digits: (W, K*m) unsigned.
-    Chunks of m lanes run the rounds kernel with the window axis as the
-    round axis; chunking bounds the live candidate matrix at W*2*n16*m u32."""
-    from ..msm.pallas_msm import _run_rounds, _xyzz_to_jac
+    """txy: (W, 2^c, 2*n32) PACKED point-major table; digits: (W, K*m)
+    unsigned.  Chunks of m lanes run the rounds kernel with the window axis
+    as the round axis (each lane is its own "bucket"); chunking bounds the
+    live candidate matrix at W*(1+2*n32)*m u32."""
+    from ..msm.pallas_msm import (_SENTINEL, _pack_rows, _run_rounds,
+                                  _xyzz_to_jac)
 
     f = cs.fp
     n16 = f.n_limbs
+    n32 = _pack_rows(n16)
     W = digits.shape[0]
     a_plain = cs.a % f.modulus if cs.a else 0
     dch_all = jnp.moveaxis(digits.reshape(W, K, m), 1, 0)  # (K, W, m)
+    lane_key2 = ((jnp.arange(m, dtype=jnp.uint32) + 1) << 1)
 
     def chunk(dch):
-        cand = jax.vmap(lambda t, d: t[d])(txy, dch)       # (W, m, 2n16)
-        dense = jnp.swapaxes(cand, 1, 2)                   # (W, 2n16, m)
-        code = (dch != 0).astype(jnp.uint32)[:, None, :]   # 1 = plain add
-        X, Y, ZZ, ZZZ = _run_rounds(f, a_plain, W, m, interpret, dense, code)
+        cand = jax.vmap(lambda t, d: t[d])(txy, dch)       # (W, m, 2n32)
+        cand = jnp.swapaxes(cand, 1, 2)                    # (W, 2n32, m)
+        key2 = jnp.where(dch != 0, lane_key2[None],
+                         jnp.uint32(_SENTINEL))            # (W, m)
+        dense = jnp.concatenate([key2[:, None, :], cand], axis=1)
+        rank0 = jnp.zeros((1, m), jnp.int32)
+        X, Y, ZZ, ZZZ = _run_rounds(f, a_plain, n16, n32, 1, W, W, m,
+                                    interpret, dense[:, None], rank0)
         return jnp.stack([X, Y, ZZ, ZZZ])                  # (4, n16, m)
 
     out = jax.lax.map(chunk, dch_all)                      # (K, 4, n16, m)
@@ -112,9 +120,10 @@ def batch_scalar_mul_fixed_base(
         except Exception:
             interpret = True
     if not interpret:
-        from ..msm.pallas_msm import BL
+        from ..msm.pallas_msm import BL, pack32_np
 
-        txy = jnp.asarray(np.concatenate([xs, ys], axis=2))  # (W, 2^c, 2n16)
+        txy = jnp.asarray(np.concatenate(
+            [pack32_np(xs), pack32_np(ys)], axis=2))         # (W, 2^c, 2n32)
         m = min(1 << 18, max(BL, 1 << (n - 1).bit_length() if n > 1 else BL))
         n_pad = -(-n // m) * m
         if n_pad != n:

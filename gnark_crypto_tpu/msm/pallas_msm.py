@@ -2,33 +2,42 @@
 
 The TPU realization of the reference's per-chunk bucket processors
 (multiexp_affine.go:18 batch-affine / multiexp_jacobian.go jacExtended): after
-sorting each window's points by |digit|, bucket b's points occupy a contiguous
-run [starts[b], starts[b]+counts[b]).  Round r takes the r-th element of every
-run — AT MOST ONE POINT PER BUCKET, so a round is one conflict-free batched
-mixed addition into per-bucket accumulators (exactly the conflict-free batch
-the reference builds with its queue, ia.cr/2022/1396 §5.3, but derived from
-the sorted layout instead of control flow).
+grouping each window's points by |digit|, bucket b's points occupy a
+contiguous run [starts[b], starts[b]+counts[b]).  Round r takes the r-th
+element of every run — AT MOST ONE POINT PER BUCKET, so a round is one
+conflict-free batched mixed addition into per-bucket accumulators (exactly
+the conflict-free batch the reference builds with its queue, ia.cr/2022/1396
+§5.3, but derived from the sorted layout instead of control flow).
 
-Schedule per window:
-  1. keys = |digit|, y negated where digit < 0 (XLA select);
-  2. order = argsort(keys) — int32 keys only, the payload is NOT permuted;
-  3. dense candidate matrix dense[r, b] = points[order[starts[b]+r]] via one
-     XLA gather (round-major layout: round r is a contiguous lane row);
-  4. ONE pallas_call: grid (bucket-tiles, rounds); XYZZ accumulators live in
-     VMEM scratch across the round axis; each step performs a complete mixed
-     add (madd-2008-s + affine-double/cancel/empty selects, ~15 kernel muls)
-     on a (BL,) lane tile; accumulators canonicalize to the output only on
-     the final round.
+Round-5 data-movement redesign (measured on v5e: XLA gather streams at only
+~3 GB/s — a per-index wall — while XLA sort moves each operand array at full
+vector speed):
 
-Cost: 1 mixed add per point per window (the segmented-scan path paid ~2 FULL
-Jacobian adds), with all field ops inside one VMEM-resident kernel.
+  1. the per-window grouping is a PAYLOAD-CARRYING unstable sort: the sort
+     key is (|digit| << 1 | sign) and the 2*ceil(n16/2) PACKED point limb
+     rows ride as sort payload — the sort IS the permutation, no gather;
+  2. the sorted SoA rows are stacked to an AoS slab of 128-lane rows holding
+     ppr = 128 // (1 + 2*n32) whole points each, so every bucket run is a
+     row-aligned window of HBM (Mosaic DMA requires 128-aligned lane slices);
+  3. a run-copy Pallas kernel issues ONE large DMA per bucket
+     (slab rows [start//ppr, +R7) -> dense[b]) — ~nb descriptors instead of
+     ~P*nb gathered rows;
+  4. one aligned XLA transpose puts the dense candidate matrix in the
+     kernel's (limb-sublane, bucket-lane) layout; the ppr-point demux within
+     a 128-lane row is folded into the rounds kernel's BlockSpec index map;
+  5. the rounds kernel derives candidate validity and sign from the key row
+     riding with each candidate: row-alignment junk (the tail of the
+     previous bucket's run) fails the bucket-id check and is masked for
+     free.  One complete mixed add (madd-2008-s XYZZ + affine-double /
+     cancel / empty selects) per candidate per round, accumulators
+     VMEM-resident across the round axis.
 
-Skew handling: the round count P is static (~2x the mean bucket load).
-Buckets longer than P keep their tail unprocessed; the wrapper detects this
-from the returned counts (one tiny host fetch) and lazily runs the EXACT
-segmented-scan path (msm.msm) on the tail digits only — zero cost for
-benchmark-shaped inputs, exact for adversarial ones (all-equal scalars).
-"""
+Skew handling: the static round budget covers the Poisson max bucket load;
+deeper buckets are consumed by re-running the SAME compiled program with
+per-window rank offsets, and pathological skew (all-equal scalars) falls
+back to the exact segmented-scan path (msm.msm machinery), whose per-bucket
+sums REPLACE the overflowed buckets (select, not add — no cross-program
+sort-order coupling)."""
 
 from __future__ import annotations
 
@@ -40,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..curves.point import Affine, Jac, jac_add
+from ..curves.point import Affine, Jac, jac_select
 from ..curves.spec import CurveSpec
 from ..fields import mont
 from ..fields.kernel_lang import KF, kspec
@@ -55,6 +64,7 @@ from .msm import (
 )
 
 BL = 512  # bucket-tile lane width of the rounds kernel
+_SENTINEL = np.uint32(0xFFFFFFFF)  # key2 of padding slots: fails bucket check
 
 
 def _round_count(n: int, nb: int, modulus: int, c: int) -> int:
@@ -63,8 +73,8 @@ def _round_count(n: int, nb: int, modulus: int, c: int) -> int:
 
     The TOP window's digits only span ceil(q / 2^((W-1)c)) values (scalars are
     uniform mod q, not mod a power of two), concentrating its load relative
-    to the lower windows; the mean uses the exact span so the tail path stays
-    a non-event for uniform scalars at ANY c."""
+    to the lower windows; the mean uses the exact span so the fix-up passes
+    stay a non-event for uniform scalars at ANY c."""
     import math
 
     bits = modulus.bit_length()
@@ -85,7 +95,7 @@ def _poisson_rounds(n: int, nb: int, mean: int) -> int:
 def _round_counts_split(n: int, nb: int, modulus: int, c: int) -> tuple:
     """(P_main, P_top): the top window's digits span only
     ceil(q / 2^((W-1)c)) values, concentrating its load; giving it its OWN
-    round count keeps the other W-1 windows' dense matrices ~20% smaller."""
+    round count keeps the other W-1 windows' dense matrices smaller."""
     bits = modulus.bit_length()
     W = -(-(bits + 1) // c)
     top_span = max(1, modulus >> ((W - 1) * c))
@@ -94,33 +104,118 @@ def _round_counts_split(n: int, nb: int, modulus: int, c: int) -> tuple:
     return p_main, p_top
 
 
+def _pack_rows(n16: int) -> int:
+    """Packed 32-bit rows per coordinate."""
+    return -(-n16 // 2)
+
+
+def pack32(a: jax.Array) -> jax.Array:
+    """(n16, N) uint32 16-bit storage limbs -> (ceil(n16/2), N) packed."""
+    n16 = a.shape[0]
+    rows = []
+    for j in range(0, n16, 2):
+        v = a[j]
+        if j + 1 < n16:
+            v = v | (a[j + 1] << 16)
+        rows.append(v)
+    return jnp.stack(rows)
+
+
+def unpack32(p: jax.Array, n16: int) -> jax.Array:
+    """(n32, N) packed -> (n16, N) 16-bit storage limbs."""
+    rows = []
+    for j in range(n16):
+        r = p[j // 2]
+        rows.append((r >> 16) if j % 2 else (r & jnp.uint32(0xFFFF)))
+    return jnp.stack(rows)
+
+
+def pack32_np(a: np.ndarray) -> np.ndarray:
+    """numpy pack32 for host-built tables; a: (..., n16) trailing limbs."""
+    n16 = a.shape[-1]
+    out = np.zeros(a.shape[:-1] + (_pack_rows(n16),), np.uint32)
+    for j in range(0, n16, 2):
+        v = a[..., j].astype(np.uint32)
+        if j + 1 < n16:
+            v = v | (a[..., j + 1].astype(np.uint32) << 16)
+        out[..., j // 2] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the run-copy kernel: one DMA per bucket run
+# ---------------------------------------------------------------------------
+
+
+def _run_copy(slab, s7, r7: int, interpret: bool):
+    """slab: (rows, 128) uint32 AoS point rows in HBM; s7: (nb,) int32 row
+    index of each bucket's run start.  Returns dense (nb, r7, 128): bucket
+    b's candidate window = slab[s7[b] : s7[b]+r7].  One DMA per bucket —
+    the gather-free dense build (slab must have >= max(s7)+r7 rows)."""
+    nb = s7.shape[0]
+
+    def kernel(s7_ref, slab_ref, out_ref, sem):
+        b = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            slab_ref.at[pl.ds(s7_ref[b], r7), :], out_ref.at[0], sem)
+        cp.start()
+        cp.wait()
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, r7, 128), lambda b, s7: (b, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((nb, r7, 128), jnp.uint32),
+        interpret=interpret,
+    )(s7, slab)
+
+
 # ---------------------------------------------------------------------------
 # the rounds kernel
 # ---------------------------------------------------------------------------
 
 
-def _rounds_kernel(spec, a_plain, n16, n_rounds,
-                   dxy_ref, code_ref, ox, oy, ozz, ozzz, scr):
+def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit,
+                   d_ref, rk_ref, ox, oy, ozz, ozzz, scr):
     """One grid step = one round r over one (BL,) bucket-lane tile.
 
-    dxy rows [0,n16) = x, [n16,2n16) = y of the candidate; code is 0 (no
-    candidate), 1 (add P) or 2 (add -P: y negated in-kernel, the signed-digit
-    halving of partitionScalars, multiexp.go:704).  scr rows [0,nk) = X,
-    [nk,2nk) = Y, [2nk,3nk) = ZZ, [3nk,4nk) = ZZZ, kernel radix, persisted
-    across the round axis of the grid."""
+    d_ref rows: [0] = candidate key2 (|digit|<<1 | sign; _SENTINEL pad),
+    [1, 1+n32) = packed x, [1+n32, 1+2*n32) = packed y.  rk_ref: (1, BL)
+    int32 alignment offset of each bucket's run start within its slab row
+    (rank of a candidate = r - rank0).  scr rows [0,nk)=X, [nk,2nk)=Y,
+    [2nk,3nk)=ZZ, [3nk,4nk)=ZZZ, kernel radix, persisted across the round
+    axis of the grid."""
     kf = KF(kspec(spec))
     nk = kf.n
+    i = pl.program_id(0)
     r = pl.program_id(1)
 
     @pl.when(r == 0)
     def _():
         scr[...] = jnp.zeros(scr.shape, scr.dtype)
 
-    x2 = kf.load16([dxy_ref[0, i] for i in range(n16)])
-    y2 = kf.load16([dxy_ref[0, n16 + i] for i in range(n16)])
-    code = code_ref[0, 0]
-    valid = code != 0
-    y2 = kf.select(code == 2, kf.neg(y2), y2)
+    k2 = d_ref[0, 0, 0]                           # (BL,) uint32
+    rank0 = rk_ref[0]                             # (BL,) int32
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, BL), 1)[0]
+    bucket = lane + jnp.uint32(1) + (i * BL).astype(jnp.uint32)
+    # validity: the candidate's own bucket id must match this lane (sentinel
+    # padding fails this for free), and its rank within the pass must lie in
+    # [0, p_limit): the lower bound rejects the <= ppr-1 row-alignment
+    # junk-head candidates, which in fix-up passes belong to the SAME bucket
+    # (already-consumed ranks — adding them again would double-count)
+    rk = r - rank0
+    valid = jnp.logical_and((k2 >> 1) == bucket,
+                            jnp.logical_and(rk >= 0, rk < p_limit))
+    sign = (k2 & 1) != 0
+
+    x2 = kf.load_packed32([d_ref[0, 0, 1 + j] for j in range(n32)])
+    y2 = kf.load_packed32([d_ref[0, 0, 1 + n32 + j] for j in range(n32)])
+    y2 = kf.select(sign, kf.neg(y2), y2)
 
     X1 = [scr[j] for j in range(nk)]
     Y1 = [scr[nk + j] for j in range(nk)]
@@ -183,36 +278,38 @@ def _rounds_kernel(spec, a_plain, n16, n_rounds,
     def _():
         for ref, val in zip((ox, oy, ozz, ozzz), outs):
             rows = kf.store16(val, n16)
-            for i in range(n16):
-                ref[i] = rows[i]
+            for i16 in range(n16):
+                ref[i16] = rows[i16]
 
 
-def _run_rounds(spec, a_plain, n_rounds, nb, interpret, dxy, code):
-    """dxy: (n_rounds, 2*n16, nb) x||y candidate rows; code: (n_rounds, 1, nb)
-    uint32 in {0: none, 1: +P, 2: -P}.
-    Returns (X, Y, ZZ, ZZZ) xyzz bucket accumulators, each (n16, nb)."""
-    n16 = spec.n_limbs
-    nk = kspec(spec).n
-    kernel = functools.partial(_rounds_kernel, spec, a_plain, n16, n_rounds)
+def _run_rounds(spec, a_plain, n16, n32, ppr, n_rounds, p_limit, nb,
+                interpret, denseT, rank0):
+    """denseT: the dense candidate matrix in kernel layout
+    (r7, ppr, R, nb) with R = 1+2*n32 — round r reads point r%ppr of
+    slab-row r//ppr (the fixed-base path passes ppr=1 with r7 = W).  The R
+    axis is blocked at its FULL extent so the 17-row point record satisfies
+    Mosaic's block-divisibility rule.  rank0: (1, nb) int32.  Returns 4 XYZZ
+    bucket coords, each (n16, nb)."""
+    R = 1 + 2 * n32
+    kernel = functools.partial(_rounds_kernel, spec, a_plain, n16, n32,
+                               n_rounds, p_limit)
     grid = (nb // BL, n_rounds)
-    ospec = lambda: pl.BlockSpec((n16, BL), lambda i, r: (0, i),
-                                 memory_space=pltpu.VMEM)
+    ospec = lambda: pl.BlockSpec((n16, BL), lambda i, r: (0, i))
     return pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((n16, nb), jnp.uint32)] * 4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * n16, BL), lambda i, r: (r, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BL), lambda i, r: (r, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, BL),
+                         lambda i, r: (r // ppr, r % ppr, 0, i)),
+            pl.BlockSpec((1, BL), lambda i, r: (0, i)),
         ],
         out_specs=[ospec() for _ in range(4)],
-        scratch_shapes=[pltpu.VMEM((4 * nk, BL), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((4 * kspec(spec).n, BL), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dxy, code)
+    )(denseT, rank0)
 
 
 # ---------------------------------------------------------------------------
@@ -233,22 +330,26 @@ def _xyzz_to_jac(cs: CurveSpec, X, Y, ZZ, ZZZ) -> Jac:
     return Jac(xj, yj, zj)
 
 
+def _r7_of(P: int, ppr: int) -> int:
+    """Slab rows per bucket window so that at least P ranks are always
+    covered despite the <= ppr-1 junk-head from row alignment."""
+    return (P + 2 * ppr - 2) // ppr
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
-                     n_rounds: int, n_rounds_top: int, interpret: bool,
+                     r7_main: int, r7_top: int, interpret: bool,
                      offsets=None):
     """Returns (windowed bucket Jac tree (L, W, nb), counts (W, nb+1)).
 
     The W-1 "main" windows run under lax.map: ONE traced window body (compile
-    stays flat in W) executed sequentially, so only one window's dense
-    candidate matrix is live at a time.  The TOP window runs separately with
-    its own larger round count — its digits span only q >> (W-1)c values
-    (_round_counts_split), so folding it into the shared count would inflate
-    every other window's dense matrix by ~20%.
+    stays flat in W) executed sequentially, so only one window's sorted slab
+    and dense matrix are live at a time.  The TOP window runs separately with
+    its own larger window size (_round_counts_split).
 
-    offsets (traced (W,) int32, or None): skip that many leading entries of
+    offsets (traced (W,) int32, or None): skip that many leading ranks of
     every bucket run — the overflow fix-up reruns this same compiled program
-    to consume ranks [off, off+P) (msm_fast's pass loop)."""
+    to consume ranks [off, off+p_limit)."""
     f = cs.fp
     n = points.x.shape[1]
     nb = 1 << (c - 1)
@@ -257,36 +358,51 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
     if offsets is None:
         offsets = jnp.zeros((W,), jnp.int32)
     a_plain = cs.a % f.modulus if cs.a else 0
-    xy = jnp.concatenate([points.x, points.y], axis=0)  # (2*n16, n)
+    n16 = f.n_limbs
+    n32 = _pack_rows(n16)
+    R = 1 + 2 * n32
+    ppr = 128 // R
+    assert ppr >= 1, f"point row ({R} u32) exceeds one 128-lane row"
+    px, py = pack32(points.x), pack32(points.y)
+    payload = [px[j] for j in range(n32)] + [py[j] for j in range(n32)]
+    n7 = -(-n // ppr)
 
-    def window_body(p_rounds):
-        iota_r = jnp.arange(p_rounds, dtype=jnp.int32)
+    def window_body(r7):
+        p_limit = r7 * ppr - ppr + 1
 
         def body(args):
             d, off = args
-            keys = jnp.abs(d)
-            order = jnp.argsort(keys).astype(jnp.int32)
-            counts = jnp.bincount(keys, length=nb + 1)
-            starts = jnp.cumsum(counts) - counts        # exclusive
-            rk = off + iota_r
-            pos = starts[1:][None, :] + rk[:, None]      # (P, nb)
-            valid = (rk[:, None] < counts[1:][None, :])
-            idx = order[jnp.clip(pos, 0, n - 1)]         # (P, nb)
-            dxy = jnp.moveaxis(xy[:, idx], 0, 1)         # (P, 2*n16, nb)
-            # candidate code: 0 none, 1 add, 2 add negated (in-kernel sign)
-            code = jnp.where(
-                valid,
-                jnp.where(d[idx] < 0, jnp.uint32(2), jnp.uint32(1)),
-                jnp.uint32(0))
+            key2 = ((jnp.abs(d) << 1) | (d < 0)).astype(jnp.int32)
+            sorted_ops = jax.lax.sort([key2] + payload, num_keys=1,
+                                      is_stable=False)
+            sk = sorted_ops[0]
+            edges = jnp.searchsorted(
+                sk, 2 * jnp.arange(nb + 2, dtype=jnp.int32)).astype(jnp.int32)
+            counts = jnp.diff(edges)                     # (nb+1,)
+            starts = jnp.minimum(edges[1:-1] + off, n7 * ppr)
+            aos = jnp.stack(
+                [sk.astype(jnp.uint32)] + list(sorted_ops[1:]), axis=1)
+            aos = jnp.pad(aos, ((0, (n7 + r7) * ppr - n), (0, 0)),
+                          constant_values=_SENTINEL)
+            slab = aos.reshape(n7 + r7, ppr * R)
+            if ppr * R < 128:
+                slab = jnp.pad(slab, ((0, 0), (0, 128 - ppr * R)))
+            s7 = starts // ppr
+            rank0 = (starts - s7 * ppr).astype(jnp.int32)
+            dense = _run_copy(slab, s7, r7, interpret)   # (nb, r7, 128)
+            denseT = jnp.transpose(
+                dense[:, :, : ppr * R].reshape(nb, r7, ppr, R),
+                (1, 2, 3, 0))                            # (r7, ppr, R, nb)
             X, Y, ZZ, ZZZ = _run_rounds(
-                f, a_plain, p_rounds, nb, interpret, dxy, code[:, None, :])
+                f, a_plain, n16, n32, ppr, r7 * ppr, p_limit, nb,
+                interpret, denseT, rank0[None])
             return X, Y, ZZ, ZZZ, counts
 
         return body
 
     bx, by, bzz, bzzz, counts_all = jax.lax.map(
-        window_body(n_rounds), (digits[:-1], offsets[:-1]))
-    tx, ty, tzz, tzzz, tcounts = window_body(n_rounds_top)(
+        window_body(r7_main), (digits[:-1], offsets[:-1]))
+    tx, ty, tzz, tzzz, tcounts = window_body(r7_top)(
         (digits[-1], offsets[-1]))
     bx, by, bzz, bzzz = (
         jnp.concatenate([a, t[None]], axis=0)
@@ -300,28 +416,14 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
-def _tail_buckets(cs: CurveSpec, points: Affine, scalars, c: int,
-                  counts, rounds_vec):
-    """EXACT segmented-scan bucket sums of only the points a window's rounds
-    did not consume (bucket loads > that window's round count) — compiled
-    lazily, only ever executed on skewed inputs.  rounds_vec: (W,) int32."""
+def _exact_window_buckets(cs: CurveSpec, points: Affine, scalars, c: int):
+    """EXACT segmented-scan bucket sums of ALL windows (msm.msm machinery) —
+    compiled lazily, only ever executed on pathologically skewed inputs; its
+    per-bucket sums REPLACE overflowed buckets wholesale."""
     ops = _ops_for_curve(cs)
     digits = signed_digits(cs.fr.bits, c, scalars)
-    # rank of each point within its (window, bucket) group == number of
-    # same-key predecessors; recover it from the sort: rank[order[i]] =
-    # i - starts[key_sorted[i]]
-    def per_window(d, cnts, p_rounds):
-        k = jnp.abs(d)
-        order = jnp.argsort(k).astype(jnp.int32)
-        starts = jnp.cumsum(cnts) - cnts
-        i = jnp.arange(d.shape[0], dtype=jnp.int32)
-        rank_sorted = i - starts[k[order]].astype(jnp.int32)
-        rank = jnp.zeros_like(i).at[order].set(rank_sorted)
-        return jnp.where(rank >= p_rounds, d, 0)
-
-    masked = jax.vmap(per_window)(digits, counts, rounds_vec)
     nb = 1 << (c - 1)
-    return _all_window_buckets(ops, points, masked, nb, DEFAULT_CHUNK)
+    return _all_window_buckets(ops, points, digits, nb, DEFAULT_CHUNK)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -330,26 +432,35 @@ def _reduce_windows(cs: CurveSpec, buckets, c: int):
     return _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _merge_overflow(cs: CurveSpec, buckets, c: int, exact, mask):
+    """buckets where not mask else exact (mask: (W, nb) bool), then reduce."""
+    merged = jac_select(mask, exact, buckets)
+    return _reduce_windows(cs, merged, c)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
-             n_rounds: int, n_rounds_top: int, interpret: bool,
+             r7_main: int, r7_top: int, interpret: bool,
              offsets=None):
     """End-to-end common path in ONE compiled program: rounds core + window
-    reduction.  Returns (result Jac, buckets, counts) — buckets stay on
-    device for the rare overflow fix-up, only counts are fetched."""
-    buckets, counts = _msm_rounds_core(cs, points, scalars, c, n_rounds,
-                                       n_rounds_top, interpret, offsets)
+    reduction.  Returns (result Jac, buckets, max bucket loads (W,)) —
+    buckets stay on device for the rare overflow fix-up; only the tiny
+    max-load vector is fetched."""
+    buckets, counts = _msm_rounds_core(cs, points, scalars, c, r7_main,
+                                       r7_top, interpret, offsets)
     ops = _ops_for_curve(cs)
     acc = _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
-    return acc, buckets, counts
+    return acc, buckets, counts, jnp.max(counts[:, 1:], axis=1)
 
 
 def fast_window(n: int, bits: int) -> int:
     """Window choice for the rounds path.  Unlike the reference's cost model
-    (multiexp.go:76), the dominant term here is the padded dense-slot count
-    W * P * nb (gather bytes + kernel lanes), and c must keep the TOP window
-    un-concentrated ((bits+1) mod c == 0 or c-1, see _round_count) — for
-    bn254's 255 = 15*17 that makes c=15 exact."""
+    (multiexp.go:76), the dominant terms here are the per-window payload
+    sort (~W * n) and the padded dense-slot count W * P * nb (DMA bytes +
+    kernel lanes); c must keep the TOP window un-concentrated
+    ((bits+1) mod c == 0 or c-1, see _round_count) — for bn254's
+    255 = 15*17 that makes c=15 exact."""
     best, best_cost = None, None
     for c in range(10, 18):
         rb = (bits + 1) % c
@@ -360,7 +471,7 @@ def fast_window(n: int, bits: int) -> int:
             continue
         P = _round_count(n, nb, (1 << bits) - 1, c)
         W = -(-(bits + 1) // c)
-        cost = W * P * nb
+        cost = W * (P * nb + 2 * n)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best if best is not None else 15
@@ -368,9 +479,10 @@ def fast_window(n: int, bits: int) -> int:
 
 def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
              interpret: bool = False) -> Jac:
-    """High-throughput MSM (MultiExp, multiexp.go:20): rounds-based Pallas
-    bucket accumulation + exact lazy tail.  points (n16, N) affine SoA,
-    scalars plain (n16_fr, N) limb array.  Exact for any input."""
+    """High-throughput MSM (MultiExp, multiexp.go:20): sort-payload + DMA
+    run-copy + rounds Pallas kernel, with exact lazy fallback.  points
+    (n16, N) affine SoA, scalars plain (n16_fr, N) limb array.  Exact for
+    any input."""
     n = points.x.shape[1]
     if c is None:
         c = fast_window(n, cs.fr.bits)
@@ -390,39 +502,44 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
         # small windows: widen c so the kernel lane tile is full
         return msm_fast(cs, points, scalars, c=BL.bit_length(),
                         interpret=interpret)
+    ppr = 128 // (1 + 2 * _pack_rows(cs.fp.n_limbs))
     p_main, p_top = _round_counts_split(n, nb, cs.fr.modulus, c)
+    r7_main, r7_top = _r7_of(p_main, ppr), _r7_of(p_top, ppr)
+    lim_main = r7_main * ppr - ppr + 1
+    lim_top = r7_top * ppr - ppr + 1
     n_w = -(-(cs.fr.bits + 1) // c)
     zero_offs = jnp.zeros((n_w,), jnp.int32)
     # always pass an offsets array so the first call and any overflow passes
     # share ONE compiled program
-    acc, buckets, counts = _msm_all(cs, points, scalars, c, p_main, p_top,
-                                    interpret, zero_offs)
-    # overflow fix-up (one small host fetch per pass): real-world skew (e.g.
+    acc, buckets, counts, maxload = _msm_all(
+        cs, points, scalars, c, r7_main, r7_top, interpret, zero_offs)
+    # overflow fix-up (one tiny host fetch per pass): real-world skew (e.g.
     # narrow-bit-width scalars concentrating a window) reruns the SAME
-    # compiled rounds program with per-window rank offsets — no new compiles;
-    # the exact segmented-scan tail remains the last resort for pathological
-    # skew (all-equal scalars).
-    counts_h = np.asarray(counts)[:, 1:]
-    w = counts_h.shape[0]
-    consumed = np.array([p_main] * (w - 1) + [p_top], dtype=np.int64)
-    max_loads = counts_h.max(axis=1)
+    # compiled rounds program with per-window rank offsets — no new
+    # compiles; the exact segmented-scan path remains the last resort for
+    # pathological skew (all-equal scalars), replacing overflowed buckets.
+    max_h = np.asarray(maxload).astype(np.int64)
+    w = max_h.shape[0]
+    limits = np.array([lim_main] * (w - 1) + [lim_top], dtype=np.int64)
+    consumed = limits.copy()
     merged = False
     for _ in range(3):
-        if not (max_loads > consumed).any():
+        if not (max_h > consumed).any():
             break
         offs = jnp.asarray(np.minimum(consumed, np.iinfo(np.int32).max),
                            dtype=jnp.int32)
-        _, buckets2, _ = _msm_all(cs, points, scalars, c, p_main, p_top,
-                                  interpret, offs)
+        _, buckets2, _, _ = _msm_all(cs, points, scalars, c, r7_main,
+                                     r7_top, interpret, offs)
+        # buckets2 holds ranks [off, off+limit); combine via jac add
+        from ..curves.point import jac_add
+
         buckets = jac_add(cs, buckets, buckets2)
         merged = True
-        consumed = consumed + np.array([p_main] * (w - 1) + [p_top],
-                                       dtype=np.int64)
-    if (max_loads > consumed).any():
-        rounds_vec = jnp.asarray(consumed, dtype=jnp.int32)
-        tails = _tail_buckets(cs, points, scalars, c, counts, rounds_vec)
-        buckets = jac_add(cs, buckets, tails)
-        merged = True
+        consumed = consumed + limits
+    if (max_h > consumed).any():
+        exact = _exact_window_buckets(cs, points, scalars, c)
+        mask = counts[:, 1:] > jnp.asarray(consumed, jnp.int32)[:, None]
+        return _merge_overflow(cs, buckets, c, exact, mask)
     if merged:
         acc = _reduce_windows(cs, buckets, c)
     return acc

@@ -3,8 +3,9 @@
 The rounds kernel is the TPU analogue of the reference's conflict-free bucket
 batch (multiexp_affine.go:18): these tests drive it in interpret mode (the
 purego analogue) over hand-built windows covering every group-law edge the
-kernel must select between: empty buckets, masked lanes, duplicate points
-(doubling), and P + (-P) cancellation."""
+kernel must select between: empty buckets, masked/sentinel lanes, duplicate
+points (doubling), and P + (-P) cancellation — and the full msm_fast glue
+(sort-payload + run-copy DMA + rounds kernel) against the exact msm path."""
 
 import dataclasses
 
@@ -12,7 +13,6 @@ import numpy as np
 import pytest
 
 import gnark_crypto_tpu.msm.pallas_msm as pm
-from gnark_crypto_tpu.curves import bn254
 from gnark_crypto_tpu.curves.reference import RefCurve
 from gnark_crypto_tpu.fields import PF, get_spec, mont
 
@@ -45,19 +45,33 @@ def cs():
     return cs
 
 
+def _pack_host(f, v: int) -> list:
+    """Packed 32-bit rows of a field element's mont limbs."""
+    limbs = f.mont_limbs(v)
+    n32 = pm._pack_rows(f.n_limbs)
+    rows = [0] * n32
+    for j, l in enumerate(limbs):
+        rows[j // 2] |= int(l) << (16 * (j % 2))
+    return rows
+
+
 def _dense_from_buckets(cs, buckets_pts, nb, P):
     """buckets_pts: list (len <= nb) of lists of host (point, code) entries
-    where code 1 = add P, 2 = add -P (kernel negates y)."""
+    where code 1 = add P, 2 = add -P (kernel negates y).  Builds the dense
+    candidate matrix in the ppr=1 kernel layout: (P, 1+2*n32, nb) with the
+    key2 row encoding (bucket+1)<<1 | sign."""
     f = cs.fp
-    dxy = np.zeros((P, 2 * f.n_limbs, nb), dtype=np.uint32)
-    code = np.zeros((P, 1, nb), dtype=np.uint32)
+    n32 = pm._pack_rows(f.n_limbs)
+    R = 1 + 2 * n32
+    dense = np.full((P, R, nb), pm._SENTINEL, dtype=np.uint32)
+    dense[:, 1:, :] = 0
     for b, pts in enumerate(buckets_pts):
         for r, (pt, cd) in enumerate(pts):
             x, y = pt
-            dxy[r, : f.n_limbs, b] = f.mont_limbs(x)
-            dxy[r, f.n_limbs :, b] = f.mont_limbs(y)
-            code[r, 0, b] = cd
-    return dxy, code
+            dense[r, 0, b] = ((b + 1) << 1) | (cd == 2)
+            dense[r, 1 : 1 + n32, b] = _pack_host(f, x)
+            dense[r, 1 + n32 :, b] = _pack_host(f, y)
+    return dense
 
 
 def _xyzz_to_host(cs, X, Y, ZZ, ZZZ, col):
@@ -87,15 +101,75 @@ def test_rounds_kernel_all_cases(cs, monkeypatch):
         [(pts[5], 1), (pts[5], 2), (pts[6], 1)],       # resurrect after cancel
         [(pts[7], 2), (pts[7], 2), (pts[7], 2)],       # negated double + add
     ]
-    dxy, code = _dense_from_buckets(cs, buckets, nb, P)
+    dense = _dense_from_buckets(cs, buckets, nb, P)
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda a, v: pm._run_rounds(cs.fp, 0, P, nb, True, a, v))
-    X, Y, ZZ, ZZZ = f(jnp.asarray(dxy), jnp.asarray(code))
+    f = cs.fp
+    n32 = pm._pack_rows(f.n_limbs)
+    rank0 = jnp.zeros((1, nb), jnp.int32)
+    fn = jax.jit(lambda d, rk: pm._run_rounds(
+        f, cs.a, f.n_limbs, n32, 1, P, P, nb, True, d, rk))
+    X, Y, ZZ, ZZZ = fn(jnp.asarray(dense)[:, None], rank0)
     for b, bucket in enumerate(buckets):
         want = None
         for q, cd in bucket:
             want = ref.add(want, q if cd == 1 else ref.neg(q))
         got = _xyzz_to_host(cs, X, Y, ZZ, ZZZ, b)
         assert got == want, f"bucket {b}: {got} != {want}"
+
+
+def _jac_to_host(shim, j):
+    f = shim.fp
+    p = f.modulus
+    col = lambda a: a.reshape(f.n_limbs, -1)[:, :1]
+    xi = int(mont.to_ints(f, col(j.x))[0])
+    yi = int(mont.to_ints(f, col(j.y))[0])
+    zi = int(mont.to_ints(f, col(j.z))[0])
+    if zi == 0:
+        return None
+    return (xi * pow(zi, -2, p) % p, yi * pow(zi, -3, p) % p)
+
+
+@pytest.mark.parametrize("scal_mode", ["uniform", "all_equal"])
+def test_msm_fast_interpret_vs_host(cs, monkeypatch, scal_mode):
+    """End-to-end msm_fast glue (payload sort + run-copy DMA + rounds kernel
+    + reduction + overflow passes) in interpret mode on the toy curve vs the
+    host reference MSM.  all_equal scalars force every point into ONE bucket
+    per window — the pathological-skew fallback path."""
+    monkeypatch.setattr(pm, "BL", 8)
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.curves.point import Affine
+
+    spec = cs.fp
+
+    class Shim:
+        fp = spec
+        fr = spec  # digits just read limb rows; babybear as both works
+        a = cs.a
+        b = cs.b
+        ref = cs.ref
+
+    rng = np.random.default_rng(7)
+    n = 64
+    G = cs.ref._gen
+    host_pts = [cs.ref.mul(int(k), G) for k in rng.integers(1, 50, n)]
+    if scal_mode == "uniform":
+        scal = [int(s) for s in rng.integers(0, spec.modulus, n)]
+    else:
+        scal = [12345678] * n
+    xs = np.stack([np.asarray(spec.mont_limbs(p[0])) for p in host_pts], 1)
+    ys = np.stack([np.asarray(spec.mont_limbs(p[1])) for p in host_pts], 1)
+    pts = Affine(jnp.asarray(xs.astype(np.uint32)),
+                 jnp.asarray(ys.astype(np.uint32)))
+    sc = np.zeros((spec.n_limbs, n), np.uint32)
+    for i, s in enumerate(scal):
+        for j in range(spec.n_limbs):
+            sc[j, i] = (s >> (16 * j)) & 0xFFFF
+    out = pm.msm_fast(Shim, pts, jnp.asarray(sc), c=5, interpret=True)
+    want = None
+    for p, s in zip(host_pts, scal):
+        want = cs.ref.add(want, cs.ref.mul(s, p))
+    got = _jac_to_host(Shim, out)
+    assert got == want
