@@ -185,6 +185,35 @@ def bench_msm(log2n):
     return n / dt, dt
 
 
+# --- perf regression guard (internal/bench/main.go:20-80 analogue) --------
+# last recorded round's numbers; bench.py prints deltas and WARNs on >10%
+# regressions so a silent perf loss is caught the round it happens.
+PREV_ROUND = {
+    "round": 4,
+    "msm_2^18_points_per_sec": 346087.0,
+    "msm_2^24_points_per_sec": 664637.4,
+    "field_mul_per_sec_bn254_fr": 452186721.3,
+    "ntt_2^20_seconds_bn254_fr": 0.0673,     # lower is better
+    "ntt_2^24_seconds_bn254_fr": 0.492,
+}
+
+
+def _regression_guard(extras):
+    deltas = {}
+    for key, prev in PREV_ROUND.items():
+        if key == "round" or key not in extras:
+            continue
+        cur = extras[key]
+        lower_better = key.startswith("ntt_")
+        ratio = (prev / cur) if lower_better else (cur / prev)
+        deltas[f"delta_vs_r{PREV_ROUND['round']}_{key}"] = round(ratio, 3)
+        if ratio < 0.9:
+            _log(f"WARN perf regression {key}: {cur} vs r{PREV_ROUND['round']}"
+                 f" {prev} ({ratio:.2f}x)")
+            extras.setdefault("perf_regressions", []).append(key)
+    extras.update(deltas)
+
+
 def _stage(extras, key, min_left, fn):
     """Run one bench stage with its own try/except — NO stage may kill the
     round (three rounds died to a single uncaught stage error, VERDICT r03).
@@ -227,9 +256,11 @@ def main():
     r = _stage(extras, "msm", 300, lambda: bench_msm(LOG2_N))
     if r is not None:
         msm_pps, msm_time = r
+        extras[f"msm_2^{LOG2_N}_points_per_sec"] = round(msm_pps, 1)
         extras[f"msm_2^{LOG2_N}_seconds"] = round(msm_time, 4)
         _log(f"msm 2^{LOG2_N} {msm_pps:.3e} pts/s")
 
+    big_pps = None
     r = _stage(extras, "msm_big", 600, lambda: bench_msm(LOG2_N_BIG))
     if r is not None:
         big_pps, big_time = r
@@ -250,7 +281,18 @@ def main():
     if prof_dir is not None:
         jax.profiler.stop_trace()
     extras["bench_wall_seconds"] = round(time.time() - _T0, 1)
-    if msm_pps is not None:
+    _regression_guard(extras)
+    # headline: the 2^24 figure — BASELINE.json's metric is stated at 2^24
+    # (VERDICT r04 weak #9); the 2^18 number stays in extras.
+    if big_pps is not None:
+        result = {
+            "metric": f"bn254_g1_msm_points_per_sec_2^{LOG2_N_BIG}",
+            "value": round(big_pps, 1),
+            "unit": "points/sec",
+            "vs_baseline": round(big_pps / BASELINE_MSM_PPS, 4),
+            "extras": extras,
+        }
+    elif msm_pps is not None:
         result = {
             "metric": f"bn254_g1_msm_points_per_sec_2^{LOG2_N}",
             "value": round(msm_pps, 1),

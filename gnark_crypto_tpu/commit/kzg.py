@@ -59,6 +59,44 @@ def _jitted_check_stack(tw):
 
 
 @functools.cache
+def _fixed_q_ctx(curve_name: str):
+    """(stack, jitted fixed-Q pairing check) for curves with a fixed-Q path
+    (PairFixedQ, bn254/pairing.go:26); None where unsupported (bw6)."""
+    from ..pairing import lines as fl
+    from ..pairing.ate import pairing_stack
+
+    st = pairing_stack(curve_name)
+    if not fl.supports_fixed_q(st):
+        return None
+    fn = jax.jit(lambda p, d1, d3, a1, a3: fl.pairing_check_fixed(
+        st, p, fl.FixedQLines(d1, d3, a1, a3)))
+    return st, fn
+
+
+@functools.cache
+def _fixed_q_lines(curve_name: str, q_key):
+    """Cached per-(curve, host Q) precomputed Miller lines."""
+    from ..pairing import lines as fl
+    from ..pairing.ate import pairing_stack
+
+    return fl.precompute_lines(pairing_stack(curve_name), q_key)
+
+
+def _verify_pairs_fixed_q(cs: CurveSpec, g1_pts, g2_pts) -> bool:
+    """prod e(P_i, Q_i) == 1 through the fixed-Q stack path: lines for each
+    (fixed, per-VK) Q are precomputed host-side and cached."""
+    from ..pairing import lines as fl
+
+    st, fn = _fixed_q_ctx(cs.name)
+    lines = fl.stack_lines(
+        [_fixed_q_lines(cs.name, q) for q in g2_pts])
+    p_dev = gp.affine_from_ints(cs, g1_pts)
+    return bool(np.asarray(fn(
+        p_dev, jnp.asarray(lines.dbl_a1), jnp.asarray(lines.dbl_a3),
+        jnp.asarray(lines.add_a1), jnp.asarray(lines.add_a3))))
+
+
+@functools.cache
 def _jitted_check_tower(tw):
     return jax.jit(lambda p, q: pairing_check(tw, p, q))
 
@@ -201,10 +239,20 @@ def open_(cs: CurveSpec, pk: ProvingKey, poly: jax.Array, a: int) -> OpeningProo
 def verify(tw, cs: CurveSpec, vk: VerifyingKey, commitment, proof: OpeningProof,
            a: int) -> bool:
     """Verify (kzg.go:207): e(H, [tau - a]G2) * e(C - yG1, -G2) == 1.
-    Host point glue + one device pairing check of batch 2."""
+
+    When the curve has a fixed-Q path, the point `a` is folded into the G1
+    side —  e(H, [tau]G2) * e(yG1 - C - aH, G2) == 1  — so BOTH G2 arguments
+    are the per-VK constants and their Miller-loop lines come precomputed
+    (PairFixedQ, bn254/pairing.go:26); otherwise the generic 2-pair check."""
     r = cs.fr.modulus
-    tc, _ = _g2_host(tw)
     g2, tau_g2 = vk.g2
+    if _fixed_q_ctx(cs.name) is not None:
+        y_minus_c = cs.ref.add(
+            cs.ref.mul(proof.claimed_value % r, vk.g1),
+            cs.ref.neg(commitment))
+        lhs = cs.ref.add(y_minus_c, cs.ref.mul((-a) % r, proof.h))
+        return _verify_pairs_fixed_q(cs, [proof.h, lhs], [tau_g2, g2])
+    tc, _ = _g2_host(tw)
     # [tau - a]G2 = tauG2 + (-a)G2
     g2_shift = tc.add(tau_g2, tc.mul((-a) % r, g2))
     c_minus_y = cs.ref.add(commitment, cs.ref.mul((-proof.claimed_value) % r,

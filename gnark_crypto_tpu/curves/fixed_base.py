@@ -89,9 +89,10 @@ def _run_kernel_path(cs: CurveSpec, txy, digits, m: int, K: int,
         key2 = jnp.where(dch != 0, lane_key2[None],
                          jnp.uint32(_SENTINEL))            # (W, m)
         dense = jnp.concatenate([key2[:, None, :], cand], axis=1)
-        rank0 = jnp.zeros((1, m), jnp.int32)
-        X, Y, ZZ, ZZZ = _run_rounds(f, a_plain, n16, n32, 1, W, W, m,
-                                    interpret, dense[:, None], rank0)
+        aux = jnp.stack([jnp.zeros((m,), jnp.int32),
+                         jnp.full((m,), W, jnp.int32)])
+        X, Y, ZZ, ZZZ = _run_rounds(f, a_plain, n16, n32, W, W, True, m,
+                                    interpret, dense, aux)
         return jnp.stack([X, Y, ZZ, ZZZ])                  # (4, n16, m)
 
     out = jax.lax.map(chunk, dch_all)                      # (K, 4, n16, m)

@@ -56,8 +56,8 @@ class Poseidon2:
     seed: str = "seed"
 
     def __post_init__(self):
-        assert self.t in (2, 3), (
-            "reference poseidon2 only has well-defined matrices for t in {2,3}"
+        assert self.t in (2, 3) or self.t % 4 == 0, (
+            "reference poseidon2 widths: 2, 3, or a multiple of 4"
         )
 
     @functools.cached_property
@@ -77,16 +77,59 @@ class Poseidon2:
         return mont.mul(f, mont.square(f, mont.square(f, x)), x)
 
     def _ext(self, s):
-        """matMulExternalInPlace for t=2: circ(2,1); t=3: circ(2,1,1)."""
+        """matMulExternalInPlace (poseidon2.go:141): t=2: circ(2,1);
+        t=3: circ(2,1,1); t%4==0: circ(2M4, M4, ..) via matMulM4."""
         f = self.fr
         if self.t == 2:
             tmp = mont.add(f, s[0], s[1])
             return [mont.add(f, tmp, s[0]), mont.add(f, tmp, s[1])]
-        tmp = mont.add(f, mont.add(f, s[0], s[1]), s[2])
-        return [mont.add(f, tmp, x) for x in s]
+        if self.t == 3:
+            tmp = mont.add(f, mont.add(f, s[0], s[1]), s[2])
+            return [mont.add(f, tmp, x) for x in s]
+        out = self._m4(s)
+        if self.t == 4:
+            return out
+        # t >= 8 circulant fold — replicated EXACTLY as written in the
+        # reference (poseidon2.go:168-172), where lanes 4i+1..4i+3 add their
+        # column sum to the freshly UPDATED lane 4i value rather than their
+        # own — byte-compatibility over textbook linear algebra.
+        c = self.t // 4
+        tmp = [functools.reduce(lambda a, b: mont.add(f, a, b),
+                                [out[4 * i + j] for i in range(c)])
+               for j in range(4)]
+        res = list(out)
+        for i in range(c):
+            res[4 * i] = mont.add(f, out[4 * i], tmp[0])
+            for j in (1, 2, 3):
+                res[4 * i + j] = mont.add(f, res[4 * i], tmp[j])
+        return res
+
+    def _m4(self, s):
+        """matMulM4InPlace (poseidon2.go:117): per 4-lane chunk, multiply by
+        M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]] with the reference's
+        add/double chain."""
+        f = self.fr
+        out = []
+        for i in range(0, len(s), 4):
+            s0, s1, s2, s3 = s[i : i + 4]
+            t0 = mont.add(f, s0, s1)
+            t1 = mont.add(f, s2, s3)
+            t2 = mont.add(f, mont.double(f, s1), t1)
+            t3 = mont.add(f, mont.double(f, s3), t0)
+            t4 = mont.add(f, mont.double(f, mont.double(f, t1)), t3)
+            t5 = mont.add(f, mont.double(f, mont.double(f, t0)), t2)
+            t6 = mont.add(f, t3, t5)
+            t7 = mont.add(f, t2, t4)
+            out.extend([t6, t5, t7, t4])
+        return out
 
     def _int(self, s):
-        """matMulInternalInPlace: t=2 [[2,1],[1,3]]; t=3 [[2,1,1],[1,2,1],[1,1,3]]."""
+        """matMulInternalInPlace: t=2 [[2,1],[1,3]]; t=3 [[2,1,1],[1,2,1],[1,1,3]].
+        t>=4 rejected: the reference reads an uninitialized internal diagonal
+        there (poseidon2.go:198 diagInternalMatrices is never filled)."""
+        assert self.t in (2, 3), (
+            "poseidon2 permutation defined for t in {2,3} only; "
+            "t%4==0 supports the external matrix (mat_mul_external)")
         f = self.fr
         if self.t == 2:
             tot = mont.add(f, s[0], s[1])
@@ -123,6 +166,14 @@ class Poseidon2:
     def permutation_ints(self, values: list[int]) -> list[int]:
         arrs = [mont.from_ints(self.fr, [v]) for v in values]
         out = self.permutation(arrs)
+        return [int(mont.to_ints(self.fr, x)[0]) for x in out]
+
+    def mat_mul_external_ints(self, values: list[int]) -> list[int]:
+        """Public external-matrix application (matMulExternalInPlace) on
+        host ints — pinned against the reference's TestExternalMatrix
+        (poseidon2_test.go:14) for t=4."""
+        arrs = [mont.from_ints(self.fr, [v]) for v in values]
+        out = self._ext(arrs)
         return [int(mont.to_ints(self.fr, x)[0]) for x in out]
 
 

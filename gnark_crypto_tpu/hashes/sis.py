@@ -45,7 +45,12 @@ class RSis:
         coeffs += [0] * (total - len(coeffs))
         assert len(coeffs) == total
         m = np.array(coeffs, dtype=object).reshape(self.n_polys, self.degree)
-        m_dev = mont.from_ints(spec, m)  # (n_limbs, n_polys, d)
+        # gnark writes each limb RAW into the Montgomery word of the ring
+        # coefficient (InnerHash, sis.go:181: k[j][0] = l), so the coefficient
+        # VALUE is l * R^-1 mod q; our storage radix 2^(16*n_limbs) equals the
+        # reference's R for every supported field, so raw limb placement
+        # (mont=False) reproduces it bit-exactly.
+        m_dev = mont.from_ints(spec, m, mont=False)  # (n_limbs, n_polys, d)
         # psi-twist each polynomial, batched cyclic NTT, pointwise mul with
         # key evals, sum over polys, inverse NTT, untwist
         psi_pows = powers(spec, self.psi, self.degree)  # (n_limbs, d)
@@ -61,11 +66,40 @@ class RSis:
         return [int(v) for v in mont.to_ints(spec, res)]
 
 
+def _derive_random_element(seed: int, i: int, j: int, q: int) -> int:
+    """deriveRandomElementFromSeed (sis.go:197): blake2b-256 of
+    "SIS" || be64(seed) || be64(i) || be64(j), reduced mod q (SetBytes
+    semantics: big-endian integer mod q) — bit-exact with the reference."""
+    import hashlib
+
+    buf = (b"SIS" + (seed & (2**64 - 1)).to_bytes(8, "big")
+           + (i & (2**64 - 1)).to_bytes(8, "big")
+           + (j & (2**64 - 1)).to_bytes(8, "big"))
+    dg = hashlib.blake2b(buf, digest_size=32).digest()
+    return int.from_bytes(dg, "big") % q
+
+
+def sage_deterministic_key(q: int, seed: int, n_polys: int, d: int):
+    """The reference test suite's deterministic key (sis_test.go:145
+    makeKeyDeterministic / sis.py poly_pseudo_rand): polynomial i's
+    coefficients are the iterated squares of (seed + i)."""
+    A = np.empty((n_polys, d), dtype=object)
+    for i in range(n_polys):
+        s = (seed + i) % q
+        for j in range(d):
+            s = s * s % q
+            A[i, j] = s
+    return A
+
+
 def new_rsis(field_name: str, seed: int, log_two_degree: int,
-             log_two_bound: int, max_elements: int) -> RSis:
-    """NewRSis (sis.go:47): key A_i drawn from a seeded PRNG (our own
-    derivation — the hash family is the same, the sampled key differs from the
-    reference's Go PRNG)."""
+             log_two_bound: int, max_elements: int,
+             key: str = "blake2b") -> RSis:
+    """NewRSis (sis.go:47): key A_i derived with the reference's seeded
+    blake2b PRNG (sis.go:197) by default, so hashes are bit-compatible with
+    gnark; key="sage" selects the reference test suite's deterministic key
+    (pinned by tests/vectors/sis_*.json, copied from the reference's
+    Sage-generated test_cases.json)."""
     spec = get_spec(field_name)
     d = 1 << log_two_degree
     assert log_two_bound % 8 == 0
@@ -78,10 +112,13 @@ def new_rsis(field_name: str, seed: int, log_two_degree: int,
     psi = pow(spec.multiplicative_generator, (q - 1) // (2 * d), q)
     assert pow(psi, 2, q) == domain.generator  # psi^2 generates <w_d>
     assert pow(psi, d, q) == q - 1             # psi^d = -1 (negacyclic twist)
-    # key
-    rng = np.random.default_rng(seed)
-    A = rng.integers(0, 2**63, size=(n_polys, d), dtype=np.int64).astype(object)
-    A = np.vectorize(lambda v: int(v) % q, otypes=[object])(A)
+    # key: gnark-exact derivation per (polynomial, coefficient)
+    if key == "sage":
+        A = sage_deterministic_key(q, seed, n_polys, d)
+    else:
+        A = np.array(
+            [[_derive_random_element(seed, i, j, q) for j in range(d)]
+             for i in range(n_polys)], dtype=object)
     a_dev = mont.from_ints(spec, A)
     psi_pows = powers(spec, psi, d)
     tw = mont.mul(spec, a_dev, psi_pows[:, None, :])

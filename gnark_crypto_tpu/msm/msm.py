@@ -61,8 +61,9 @@ def signed_digits(fr_bits: int, c: int, scalars: jax.Array) -> jax.Array:
     """Signed c-bit windows of plain (non-Montgomery) scalar limb arrays.
 
     Returns (n_windows, N) int32 in [-2^(c-1), 2^(c-1)] (partitionScalars,
-    multiexp.go:704-856, vectorized)."""
-    assert 4 <= c <= 16
+    multiexp.go:704-856, vectorized).  c <= 17 keeps every window inside the
+    32-bit two-limb read below (sh <= 15, so sh + c <= 32)."""
+    assert 4 <= c <= 17
     n_limbs = scalars.shape[0]
     n_windows = -(-(fr_bits + 1) // c)
     half = 1 << (c - 1)

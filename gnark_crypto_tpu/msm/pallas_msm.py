@@ -13,24 +13,29 @@ Round-5 data-movement redesign (measured on v5e: XLA gather streams at only
 ~3 GB/s — a per-index wall — while XLA sort moves each operand array at full
 vector speed):
 
-  1. the per-window grouping is a PAYLOAD-CARRYING unstable sort: the sort
-     key is (|digit| << 1 | sign) and the 2*ceil(n16/2) PACKED point limb
-     rows ride as sort payload — the sort IS the permutation, no gather;
-  2. the sorted SoA rows are stacked to an AoS slab of 128-lane rows holding
-     ppr = 128 // (1 + 2*n32) whole points each, so every bucket run is a
-     row-aligned window of HBM (Mosaic DMA requires 128-aligned lane slices);
-  3. a run-copy Pallas kernel issues ONE large DMA per bucket
-     (slab rows [start//ppr, +R7) -> dense[b]) — ~nb descriptors instead of
-     ~P*nb gathered rows;
-  4. one aligned XLA transpose puts the dense candidate matrix in the
-     kernel's (limb-sublane, bucket-lane) layout; the ppr-point demux within
-     a 128-lane row is folded into the rounds kernel's BlockSpec index map;
-  5. the rounds kernel derives candidate validity and sign from the key row
-     riding with each candidate: row-alignment junk (the tail of the
-     previous bucket's run) fails the bucket-id check and is masked for
-     free.  One complete mixed add (madd-2008-s XYZZ + affine-double /
-     cancel / empty selects) per candidate per round, accumulators
-     VMEM-resident across the round axis.
+  1. the per-window grouping is a PAYLOAD-CARRYING unstable sort: the key is
+     |digit| and the 2*ceil(n16/2) PACKED point limb rows ride as sort
+     payload (y pre-negated where the signed digit is negative, chosen
+     between precomputed packed y / -y rows) — the sort IS the permutation,
+     no gather anywhere;
+  2. the sorted rows are stacked to ONE (2*n32, n) array — every dimension
+     128-lane / 8-sublane aligned, nothing is layout-padded;
+  3. a run-copy Pallas kernel issues ONE large DMA per bucket:
+     slab[:, 128*(start//128) : +P128] -> dense[b].  Mosaic requires the
+     lane start/extent of an HBM slice to be 128-aligned, so the window is
+     aligned DOWN and carries <= 127 junk-head candidates;
+  4. one aligned XLA transpose puts the dense matrix in the kernel's
+     (limb-sublane, bucket-lane) layout;
+  5. the rounds kernel masks each candidate by its rank: rank = r - rank0
+     (rank0 = start mod 128) must lie in [0, p_limit) and below the
+     bucket's remaining count — junk head/tail and fix-up double-adds are
+     all rejected by the same three comparisons.
+
+The TOP window's digits span only ceil(q / 2^((W-1)c)) values, so it runs
+with its own (smaller) bucket-lane count and its own round budget — this is
+what frees the window size c from divisibility constraints (the reference's
+cost model, multiexp.go:76, is replaced by one weighing kernel slots
+against per-window sort cost).
 
 Skew handling: the static round budget covers the Poisson max bucket load;
 deeper buckets are consumed by re-running the SAME compiled program with
@@ -49,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..curves.point import Affine, Jac, jac_select
+from ..curves.point import Affine, Jac, jac_add, jac_select
 from ..curves.spec import CurveSpec
 from ..fields import mont
 from ..fields.kernel_lang import KF, kspec
@@ -64,44 +69,42 @@ from .msm import (
 )
 
 BL = 512  # bucket-tile lane width of the rounds kernel
-_SENTINEL = np.uint32(0xFFFFFFFF)  # key2 of padding slots: fails bucket check
-
-
-def _round_count(n: int, nb: int, modulus: int, c: int) -> int:
-    """Static rounds covering the Poisson max bucket load: mean +
-    sqrt(2*mean*ln nb) + O(ln nb) (max of nb Poisson(mean) draws).
-
-    The TOP window's digits only span ceil(q / 2^((W-1)c)) values (scalars are
-    uniform mod q, not mod a power of two), concentrating its load relative
-    to the lower windows; the mean uses the exact span so the fix-up passes
-    stay a non-event for uniform scalars at ANY c."""
-    import math
-
-    bits = modulus.bit_length()
-    W = -(-(bits + 1) // c)
-    top_span = max(1, modulus >> ((W - 1) * c))
-    mean = max(1, n // nb, -(-n // top_span))
-    return _poisson_rounds(n, nb, mean)
+_SENTINEL = np.uint32(0xFFFFFFFF)  # key2 of invalid fixed-base candidates
 
 
 def _poisson_rounds(n: int, nb: int, mean: int) -> int:
+    """Rounds covering the Poisson max bucket load: mean +
+    sqrt(2*mean*ln nb) + O(ln nb) (max of nb Poisson(mean) draws)."""
     import math
 
     ln_nb = math.log(max(nb, 2))
     p = mean + math.ceil(math.sqrt(2.0 * mean * ln_nb)) + math.ceil(2 * ln_nb)
-    return min(-(-p // 8) * 8, n)
+    return min(p, n)
 
 
-def _round_counts_split(n: int, nb: int, modulus: int, c: int) -> tuple:
-    """(P_main, P_top): the top window's digits span only
-    ceil(q / 2^((W-1)c)) values, concentrating its load; giving it its OWN
-    round count keeps the other W-1 windows' dense matrices smaller."""
+def _p128_of(P: int) -> int:
+    """Dense window extent covering >= P ranks past a <=127 junk head."""
+    return -(-(P + 127) // 128) * 128
+
+
+def _pow2ceil(v: int) -> int:
+    return 1 << max(0, (v - 1).bit_length())
+
+
+def _top_span(modulus: int, c: int) -> int:
+    """Number of distinct values the TOP window's digits can take."""
     bits = modulus.bit_length()
     W = -(-(bits + 1) // c)
-    top_span = max(1, modulus >> ((W - 1) * c))
+    return max(1, (modulus >> ((W - 1) * c)) + 2)  # +2: borrow carry headroom
+
+
+def _plan(n: int, nb: int, modulus: int, c: int) -> tuple:
+    """(p128_main, p128_top, nb_top) static schedule for one MSM shape."""
     p_main = _poisson_rounds(n, nb, max(1, n // nb))
-    p_top = _poisson_rounds(n, nb, max(1, n // nb, -(-n // top_span)))
-    return p_main, p_top
+    span = _top_span(modulus, c)
+    nb_top = min(nb, max(BL, _pow2ceil(span)))
+    p_top = _poisson_rounds(n, nb_top, max(1, n // max(1, min(nb_top, span))))
+    return _p128_of(p_main), _p128_of(p_top), nb_top
 
 
 def _pack_rows(n16: int) -> int:
@@ -147,17 +150,19 @@ def pack32_np(a: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _run_copy(slab, s7, r7: int, interpret: bool):
-    """slab: (rows, 128) uint32 AoS point rows in HBM; s7: (nb,) int32 row
-    index of each bucket's run start.  Returns dense (nb, r7, 128): bucket
-    b's candidate window = slab[s7[b] : s7[b]+r7].  One DMA per bucket —
-    the gather-free dense build (slab must have >= max(s7)+r7 rows)."""
-    nb = s7.shape[0]
+def _run_copy(slab, s128, p128: int, interpret: bool):
+    """slab: (R8, cols) uint32 sorted payload rows in HBM (R8 a multiple of
+    8, cols a multiple of 128); s128: (nb,) int32 — bucket b's aligned run
+    window starts at column 128*s128[b].  Returns dense (nb, R8, p128).
+    One DMA per bucket — the gather-free dense build (cols must be >=
+    128*max(s128) + p128)."""
+    nb = s128.shape[0]
+    R8 = slab.shape[0]
 
-    def kernel(s7_ref, slab_ref, out_ref, sem):
+    def kernel(s_ref, slab_ref, out_ref, sem):
         b = pl.program_id(0)
         cp = pltpu.make_async_copy(
-            slab_ref.at[pl.ds(s7_ref[b], r7), :], out_ref.at[0], sem)
+            slab_ref.at[:, pl.ds(s_ref[b] * 128, p128)], out_ref.at[0], sem)
         cp.start()
         cp.wait()
 
@@ -165,14 +170,14 @@ def _run_copy(slab, s7, r7: int, interpret: bool):
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, r7, 128), lambda b, s7: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, R8, p128), lambda b, s: (b, 0, 0)),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         kernel, grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((nb, r7, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nb, R8, p128), jnp.uint32),
         interpret=interpret,
-    )(s7, slab)
+    )(s128, slab)
 
 
 # ---------------------------------------------------------------------------
@@ -180,16 +185,19 @@ def _run_copy(slab, s7, r7: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit,
-                   d_ref, rk_ref, ox, oy, ozz, ozzz, scr):
+def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit, key_row,
+                   d_ref, aux_ref, ox, oy, ozz, ozzz, scr):
     """One grid step = one round r over one (BL,) bucket-lane tile.
 
-    d_ref rows: [0] = candidate key2 (|digit|<<1 | sign; _SENTINEL pad),
-    [1, 1+n32) = packed x, [1+n32, 1+2*n32) = packed y.  rk_ref: (1, BL)
-    int32 alignment offset of each bucket's run start within its slab row
-    (rank of a candidate = r - rank0).  scr rows [0,nk)=X, [nk,2nk)=Y,
-    [2nk,3nk)=ZZ, [3nk,4nk)=ZZZ, kernel radix, persisted across the round
-    axis of the grid."""
+    d_ref block (1, R, BL): packed x rows then packed y rows (y already
+    digit-sign-negated on the MSM path).  With key_row=True (fixed-base
+    path) row 0 is a key2 = (lane+1)<<1 | sign (or _SENTINEL) and the y
+    negation happens in-kernel.  aux_ref (2, BL) int32: row 0 = rank0 (run
+    start mod 128), row 1 = remaining count of the bucket in this pass.
+    A candidate is live iff rank = r - rank0 lies in [0, p_limit) and
+    below the remaining count (junk head/tail and fix-up double-adds all
+    fail these).  scr rows [0,nk)=X, [nk,2nk)=Y, [2nk,3nk)=ZZ,
+    [3nk,4nk)=ZZZ, kernel radix, persisted across the round axis."""
     kf = KF(kspec(spec))
     nk = kf.n
     i = pl.program_id(0)
@@ -199,23 +207,24 @@ def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit,
     def _():
         scr[...] = jnp.zeros(scr.shape, scr.dtype)
 
-    k2 = d_ref[0, 0, 0]                           # (BL,) uint32
-    rank0 = rk_ref[0]                             # (BL,) int32
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, BL), 1)[0]
-    bucket = lane + jnp.uint32(1) + (i * BL).astype(jnp.uint32)
-    # validity: the candidate's own bucket id must match this lane (sentinel
-    # padding fails this for free), and its rank within the pass must lie in
-    # [0, p_limit): the lower bound rejects the <= ppr-1 row-alignment
-    # junk-head candidates, which in fix-up passes belong to the SAME bucket
-    # (already-consumed ranks — adding them again would double-count)
+    rank0 = aux_ref[0]                            # (BL,) int32
+    cnt = aux_ref[1]
     rk = r - rank0
-    valid = jnp.logical_and((k2 >> 1) == bucket,
-                            jnp.logical_and(rk >= 0, rk < p_limit))
-    sign = (k2 & 1) != 0
+    valid = jnp.logical_and(rk >= 0,
+                            jnp.logical_and(rk < p_limit, rk < cnt))
+    off = 0
+    if key_row:
+        k2 = d_ref[0, 0]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (1, BL), 1)[0]
+        bucket = lane + jnp.uint32(1) + (i * BL).astype(jnp.uint32)
+        valid = jnp.logical_and(valid, (k2 >> 1) == bucket)
+        sign = (k2 & 1) != 0
+        off = 1
 
-    x2 = kf.load_packed32([d_ref[0, 0, 1 + j] for j in range(n32)])
-    y2 = kf.load_packed32([d_ref[0, 0, 1 + n32 + j] for j in range(n32)])
-    y2 = kf.select(sign, kf.neg(y2), y2)
+    x2 = kf.load_packed32([d_ref[0, off + j] for j in range(n32)])
+    y2 = kf.load_packed32([d_ref[0, off + n32 + j] for j in range(n32)])
+    if key_row:
+        y2 = kf.select(sign, kf.neg(y2), y2)
 
     X1 = [scr[j] for j in range(nk)]
     Y1 = [scr[nk + j] for j in range(nk)]
@@ -282,17 +291,15 @@ def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit,
                 ref[i16] = rows[i16]
 
 
-def _run_rounds(spec, a_plain, n16, n32, ppr, n_rounds, p_limit, nb,
-                interpret, denseT, rank0):
-    """denseT: the dense candidate matrix in kernel layout
-    (r7, ppr, R, nb) with R = 1+2*n32 — round r reads point r%ppr of
-    slab-row r//ppr (the fixed-base path passes ppr=1 with r7 = W).  The R
-    axis is blocked at its FULL extent so the 17-row point record satisfies
-    Mosaic's block-divisibility rule.  rank0: (1, nb) int32.  Returns 4 XYZZ
-    bucket coords, each (n16, nb)."""
-    R = 1 + 2 * n32
+def _run_rounds(spec, a_plain, n16, n32, n_rounds, p_limit, key_row, nb,
+                interpret, denseT, aux):
+    """denseT: (n_rounds, R, nb) dense candidate matrix in kernel layout —
+    the R axis is blocked at its FULL extent, which keeps any R legal under
+    Mosaic's block-divisibility rule.  aux: (2, nb) int32 (rank0; remaining
+    count).  Returns 4 XYZZ bucket coords, each (n16, nb)."""
+    R = denseT.shape[1]
     kernel = functools.partial(_rounds_kernel, spec, a_plain, n16, n32,
-                               n_rounds, p_limit)
+                               n_rounds, p_limit, key_row)
     grid = (nb // BL, n_rounds)
     ospec = lambda: pl.BlockSpec((n16, BL), lambda i, r: (0, i))
     return pl.pallas_call(
@@ -300,16 +307,15 @@ def _run_rounds(spec, a_plain, n16, n32, ppr, n_rounds, p_limit, nb,
         out_shape=[jax.ShapeDtypeStruct((n16, nb), jnp.uint32)] * 4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, R, BL),
-                         lambda i, r: (r // ppr, r % ppr, 0, i)),
-            pl.BlockSpec((1, BL), lambda i, r: (0, i)),
+            pl.BlockSpec((1, R, BL), lambda i, r: (r, 0, i)),
+            pl.BlockSpec((2, BL), lambda i, r: (0, i)),
         ],
         out_specs=[ospec() for _ in range(4)],
         scratch_shapes=[pltpu.VMEM((4 * kspec(spec).n, BL), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(denseT, rank0)
+    )(denseT, aux)
 
 
 # ---------------------------------------------------------------------------
@@ -330,22 +336,17 @@ def _xyzz_to_jac(cs: CurveSpec, X, Y, ZZ, ZZZ) -> Jac:
     return Jac(xj, yj, zj)
 
 
-def _r7_of(P: int, ppr: int) -> int:
-    """Slab rows per bucket window so that at least P ranks are always
-    covered despite the <= ppr-1 junk-head from row alignment."""
-    return (P + 2 * ppr - 2) // ppr
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
-                     r7_main: int, r7_top: int, interpret: bool,
-                     offsets=None):
+                     p128_main: int, p128_top: int, nb_top: int,
+                     interpret: bool, offsets=None):
     """Returns (windowed bucket Jac tree (L, W, nb), counts (W, nb+1)).
 
     The W-1 "main" windows run under lax.map: ONE traced window body (compile
     stays flat in W) executed sequentially, so only one window's sorted slab
-    and dense matrix are live at a time.  The TOP window runs separately with
-    its own larger window size (_round_counts_split).
+    and dense matrix are live at a time.  The TOP window runs separately
+    with its own round budget AND bucket-lane count (its digits span few
+    values — see _plan), then pads its bucket row back to nb.
 
     offsets (traced (W,) int32, or None): skip that many leading ranks of
     every bucket run — the overflow fix-up reruns this same compiled program
@@ -360,49 +361,52 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
     a_plain = cs.a % f.modulus if cs.a else 0
     n16 = f.n_limbs
     n32 = _pack_rows(n16)
-    R = 1 + 2 * n32
-    ppr = 128 // R
-    assert ppr >= 1, f"point row ({R} u32) exceeds one 128-lane row"
-    px, py = pack32(points.x), pack32(points.y)
-    payload = [px[j] for j in range(n32)] + [py[j] for j in range(n32)]
-    n7 = -(-n // ppr)
+    R16 = 2 * n32
+    R8 = -(-R16 // 8) * 8
+    pxs = list(pack32(points.x))
+    pyp = list(pack32(points.y))
+    pyn = list(pack32(mont.neg(f, points.y)))
+    n128 = -(-n // 128) * 128
 
-    def window_body(r7):
-        p_limit = r7 * ppr - ppr + 1
+    def window_body(p128, nb_w):
+        p_limit = p128 - 127
 
         def body(args):
             d, off = args
-            key2 = ((jnp.abs(d) << 1) | (d < 0)).astype(jnp.int32)
-            sorted_ops = jax.lax.sort([key2] + payload, num_keys=1,
+            neg = d < 0
+            key = jnp.abs(d).astype(jnp.int32)
+            pys = [jnp.where(neg, a, b) for a, b in zip(pyn, pyp)]
+            sorted_ops = jax.lax.sort([key] + pxs + pys, num_keys=1,
                                       is_stable=False)
             sk = sorted_ops[0]
             edges = jnp.searchsorted(
-                sk, 2 * jnp.arange(nb + 2, dtype=jnp.int32)).astype(jnp.int32)
+                sk, jnp.arange(nb + 2, dtype=jnp.int32)).astype(jnp.int32)
             counts = jnp.diff(edges)                     # (nb+1,)
-            starts = jnp.minimum(edges[1:-1] + off, n7 * ppr)
-            aos = jnp.stack(
-                [sk.astype(jnp.uint32)] + list(sorted_ops[1:]), axis=1)
-            aos = jnp.pad(aos, ((0, (n7 + r7) * ppr - n), (0, 0)),
-                          constant_values=_SENTINEL)
-            slab = aos.reshape(n7 + r7, ppr * R)
-            if ppr * R < 128:
-                slab = jnp.pad(slab, ((0, 0), (0, 128 - ppr * R)))
-            s7 = starts // ppr
-            rank0 = (starts - s7 * ppr).astype(jnp.int32)
-            dense = _run_copy(slab, s7, r7, interpret)   # (nb, r7, 128)
-            denseT = jnp.transpose(
-                dense[:, :, : ppr * R].reshape(nb, r7, ppr, R),
-                (1, 2, 3, 0))                            # (r7, ppr, R, nb)
+            starts = edges[1 : nb_w + 1]
+            stacked = jnp.stack(sorted_ops[1:], axis=0)  # (R16, n)
+            if R8 > R16:
+                stacked = jnp.pad(stacked, ((0, R8 - R16), (0, 0)))
+            stacked = jnp.pad(stacked, ((0, 0), (0, n128 - n + p128)))
+            spos = jnp.minimum(starts + off, n128)
+            s128 = spos // 128
+            rank0 = spos - s128 * 128
+            cnt_rem = counts[1 : nb_w + 1] - off
+            aux = jnp.stack([rank0, cnt_rem])            # (2, nb_w)
+            dense = _run_copy(stacked, s128, p128, interpret)
+            denseT = jnp.transpose(dense, (2, 1, 0))     # (p128, R8, nb_w)
             X, Y, ZZ, ZZZ = _run_rounds(
-                f, a_plain, n16, n32, ppr, r7 * ppr, p_limit, nb,
-                interpret, denseT, rank0[None])
+                f, a_plain, n16, n32, p128, p_limit, False, nb_w,
+                interpret, denseT, aux)
+            if nb_w < nb:
+                pad = ((0, 0), (0, nb - nb_w))
+                X, Y, ZZ, ZZZ = (jnp.pad(v, pad) for v in (X, Y, ZZ, ZZZ))
             return X, Y, ZZ, ZZZ, counts
 
         return body
 
     bx, by, bzz, bzzz, counts_all = jax.lax.map(
-        window_body(r7_main), (digits[:-1], offsets[:-1]))
-    tx, ty, tzz, tzzz, tcounts = window_body(r7_top)(
+        window_body(p128_main, nb), (digits[:-1], offsets[:-1]))
+    tx, ty, tzz, tzzz, tcounts = window_body(p128_top, nb_top)(
         (digits[-1], offsets[-1]))
     bx, by, bzz, bzzz = (
         jnp.concatenate([a, t[None]], axis=0)
@@ -439,16 +443,16 @@ def _merge_overflow(cs: CurveSpec, buckets, c: int, exact, mask):
     return _reduce_windows(cs, merged, c)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
-             r7_main: int, r7_top: int, interpret: bool,
+             p128_main: int, p128_top: int, nb_top: int, interpret: bool,
              offsets=None):
     """End-to-end common path in ONE compiled program: rounds core + window
-    reduction.  Returns (result Jac, buckets, max bucket loads (W,)) —
-    buckets stay on device for the rare overflow fix-up; only the tiny
-    max-load vector is fetched."""
-    buckets, counts = _msm_rounds_core(cs, points, scalars, c, r7_main,
-                                       r7_top, interpret, offsets)
+    reduction.  Returns (result Jac, buckets, counts, max loads (W,)) —
+    buckets/counts stay on device for the rare overflow fix-up; only the
+    tiny max-load vector is fetched."""
+    buckets, counts = _msm_rounds_core(cs, points, scalars, c, p128_main,
+                                       p128_top, nb_top, interpret, offsets)
     ops = _ops_for_curve(cs)
     acc = _horner_windows(ops, _weighted_bucket_sums(ops, buckets), c)
     return acc, buckets, counts, jnp.max(counts[:, 1:], axis=1)
@@ -457,21 +461,20 @@ def _msm_all(cs: CurveSpec, points: Affine, scalars, c: int,
 def fast_window(n: int, bits: int) -> int:
     """Window choice for the rounds path.  Unlike the reference's cost model
     (multiexp.go:76), the dominant terms here are the per-window payload
-    sort (~W * n) and the padded dense-slot count W * P * nb (DMA bytes +
-    kernel lanes); c must keep the TOP window un-concentrated
-    ((bits+1) mod c == 0 or c-1, see _round_count) — for bn254's
-    255 = 15*17 that makes c=15 exact."""
+    sort (~W * n elements through lax.sort) and the dense kernel-slot count
+    (sum of p128 * lanes over windows).  The top window's few-valued digits
+    get their own small lane count (_plan), so any c in [10, 17] is legal."""
+    q = (1 << bits) - 1
     best, best_cost = None, None
     for c in range(10, 18):
-        rb = (bits + 1) % c
-        if rb and rb != c - 1:
-            continue
         nb = 1 << (c - 1)
-        if nb % BL and nb > BL:
+        if nb < BL:
             continue
-        P = _round_count(n, nb, (1 << bits) - 1, c)
         W = -(-(bits + 1) // c)
-        cost = W * (P * nb + 2 * n)
+        p128_main, p128_top, nb_top = _plan(n, nb, q, c)
+        # ~1.3 kernel-slot-equivalents per sorted element (measured v5e:
+        # sort ~20ns/elt/window vs ~15ns/kernel slot)
+        cost = (W - 1) * p128_main * nb + p128_top * nb_top + 13 * W * n // 10
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best if best is not None else 15
@@ -502,17 +505,16 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
         # small windows: widen c so the kernel lane tile is full
         return msm_fast(cs, points, scalars, c=BL.bit_length(),
                         interpret=interpret)
-    ppr = 128 // (1 + 2 * _pack_rows(cs.fp.n_limbs))
-    p_main, p_top = _round_counts_split(n, nb, cs.fr.modulus, c)
-    r7_main, r7_top = _r7_of(p_main, ppr), _r7_of(p_top, ppr)
-    lim_main = r7_main * ppr - ppr + 1
-    lim_top = r7_top * ppr - ppr + 1
+    p128_main, p128_top, nb_top = _plan(n, nb, cs.fr.modulus, c)
+    lim_main = p128_main - 127
+    lim_top = p128_top - 127
     n_w = -(-(cs.fr.bits + 1) // c)
     zero_offs = jnp.zeros((n_w,), jnp.int32)
     # always pass an offsets array so the first call and any overflow passes
     # share ONE compiled program
     acc, buckets, counts, maxload = _msm_all(
-        cs, points, scalars, c, r7_main, r7_top, interpret, zero_offs)
+        cs, points, scalars, c, p128_main, p128_top, nb_top, interpret,
+        zero_offs)
     # overflow fix-up (one tiny host fetch per pass): real-world skew (e.g.
     # narrow-bit-width scalars concentrating a window) reruns the SAME
     # compiled rounds program with per-window rank offsets — no new
@@ -528,11 +530,9 @@ def msm_fast(cs: CurveSpec, points: Affine, scalars, c: int | None = None,
             break
         offs = jnp.asarray(np.minimum(consumed, np.iinfo(np.int32).max),
                            dtype=jnp.int32)
-        _, buckets2, _, _ = _msm_all(cs, points, scalars, c, r7_main,
-                                     r7_top, interpret, offs)
+        _, buckets2, _, _ = _msm_all(cs, points, scalars, c, p128_main,
+                                     p128_top, nb_top, interpret, offs)
         # buckets2 holds ranks [off, off+limit); combine via jac add
-        from ..curves.point import jac_add
-
         buckets = jac_add(cs, buckets, buckets2)
         merged = True
         consumed = consumed + limits

@@ -106,6 +106,35 @@ class Polynomial:
         p(w^shift X) without touching the data."""
         return dataclasses.replace(self, shift=shift)
 
+    def blind(self, order: int, rng=None) -> "Polynomial":
+        """PLONK-style blinding: p <- p + b(X) * (X^n - 1) with b a random
+        polynomial of degree `order`, extending the coefficient vector to
+        size n + order + 1.  Evaluations on the size-n domain (where
+        X^n = 1) are unchanged, but any `order+1` openings leak nothing
+        about p.  This is the `blindedSize` operation gnark's iop layer
+        tracks (polynomial.go:60; the upstream method was folded into
+        backend/plonk) — exposed here because every PLONK-style consumer
+        needs it.  Requires canonical/regular form."""
+        assert self.basis is Basis.CANONICAL and self.layout is Layout.REGULAR
+        assert 0 <= order < self.size
+        import secrets
+
+        import jax.numpy as jnp
+
+        q = self.spec.modulus
+        n = self.size
+        draw = (rng if rng is not None
+                else (lambda: secrets.randbelow(q)))
+        b = [draw() for _ in range(order + 1)]
+        # p + b(X)*(X^n - 1): coeffs [p0..p_{n-1}, 0...] - [b, 0...] +
+        # [0]*n ++ b
+        ext = mont.from_ints(self.spec, b)                  # (L, order+1)
+        coeffs = jnp.pad(self.coeffs, ((0, 0), (0, order + 1)))
+        lo = mont.sub(self.spec, coeffs[:, : order + 1], ext)
+        coeffs = jnp.concatenate(
+            [lo, coeffs[:, order + 1 : n], ext], axis=1)
+        return dataclasses.replace(self, coeffs=coeffs)
+
     def evaluate(self, x: int, domain: Domain | None = None) -> int:
         """Single-point evaluation (polynomial.go:105 Evaluate semantics:
         a nonzero shift evaluates p at w^shift * x)."""

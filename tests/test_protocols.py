@@ -165,3 +165,31 @@ def test_iop_shift_and_serialization():
     Q = iop.Polynomial.from_bytes(spec, blob)
     assert Q.shift == 2 and Q.basis is P.basis and Q.layout is P.layout
     assert (np.asarray(Q.coeffs) == np.asarray(P.coeffs)).all()
+
+
+def test_iop_blinding():
+    """blind(order): evaluations on the size-n domain unchanged, size
+    extended to n+order+1, and the added coefficients are the ZH-multiple
+    structure (Polynomial.blind; iop polynomial.go:60 blindedSize)."""
+    from gnark_crypto_tpu.protocols import iop
+
+    spec = get_spec("bn254_fr")
+    q = spec.modulus
+    rng = np.random.default_rng(4)
+    n = 8
+    coeffs = [int(x) % q for x in rng.integers(0, 2**61, n)]
+    P = iop.Polynomial(coeffs=mont.from_ints(spec, coeffs),
+                       basis=iop.Basis.CANONICAL, layout=iop.Layout.REGULAR,
+                       spec=spec)
+    order = 2
+    draws = iter([11, 22, 33])
+    B = P.blind(order, rng=lambda: next(draws))
+    assert B.size == n + order + 1
+    d = Domain(spec, n)
+    w = d.generator
+    for i in (0, 1, 5):
+        x = pow(w, i, q)
+        assert B.evaluate(x) == P.evaluate(x), f"domain point {i} changed"
+    # off-domain the values must differ (b != 0 and x^n != 1)
+    assert B.evaluate(7) == (P.evaluate(7) +
+                             (11 + 22 * 7 + 33 * 49) * (pow(7, n, q) - 1)) % q
