@@ -72,14 +72,16 @@ def _run_kernel_path(cs: CurveSpec, txy, digits, m: int, K: int,
     unsigned.  Chunks of m lanes run the rounds kernel with the window axis
     as the round axis (each lane is its own "bucket"); chunking bounds the
     live candidate matrix at W*(1+2*n32)*m u32."""
-    from ..msm.pallas_msm import (_SENTINEL, _pack_rows, _run_rounds,
-                                  _xyzz_to_jac)
+    from ..msm.pallas_msm import (_SENTINEL, _pack_rows, _proj_to_jac,
+                                  _run_rounds, _xyzz_to_jac)
 
     f = cs.fp
     n16 = f.n_limbs
     n32 = _pack_rows(n16)
     W = digits.shape[0]
     a_plain = cs.a % f.modulus if cs.a else 0
+    b_plain = cs.b % f.modulus
+    n_co = 3 if a_plain == 0 else 4
     dch_all = jnp.moveaxis(digits.reshape(W, K, m), 1, 0)  # (K, W, m)
     lane_key2 = ((jnp.arange(m, dtype=jnp.uint32) + 1) << 1)
 
@@ -91,12 +93,14 @@ def _run_kernel_path(cs: CurveSpec, txy, digits, m: int, K: int,
         dense = jnp.concatenate([key2[:, None, :], cand], axis=1)
         aux = jnp.stack([jnp.zeros((m,), jnp.int32),
                          jnp.full((m,), W, jnp.int32)])
-        X, Y, ZZ, ZZZ = _run_rounds(f, a_plain, n16, n32, W, W, True, m,
-                                    interpret, dense, aux)
-        return jnp.stack([X, Y, ZZ, ZZZ])                  # (4, n16, m)
+        coords = _run_rounds(f, a_plain, b_plain, n16, n32, W, W, True, m,
+                             interpret, dense, aux)
+        return jnp.stack(coords)                           # (n_co, n16, m)
 
-    out = jax.lax.map(chunk, dch_all)                      # (K, 4, n16, m)
-    out = jnp.moveaxis(out, 0, 2).reshape(4, n16, K * m)
+    out = jax.lax.map(chunk, dch_all)                      # (K, n_co, n16, m)
+    out = jnp.moveaxis(out, 0, 2).reshape(n_co, n16, K * m)
+    if n_co == 3:
+        return _proj_to_jac(cs, out[0], out[1], out[2])
     return _xyzz_to_jac(cs, out[0], out[1], out[2], out[3])
 
 

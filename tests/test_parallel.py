@@ -62,3 +62,52 @@ def test_msm_sharded_2d_matches_oracle():
     got = point.affine_to_ints(cs, point.jac_to_affine(cs, got_jac))
     want = cs.ref.msm(scalars, pts)
     assert got.item() == want
+
+
+@pytest.mark.slow
+def test_msm_sharded_scale_2e18_matches_single():
+    """2^18-point sharded MSM on the full 8-device CPU mesh vs the
+    single-device exact path (VERDICT r04 #8: multichip evidence at scale,
+    bit-equality asserted)."""
+    from gnark_crypto_tpu.msm.msm import msm
+
+    cs = bn254()
+    n = 1 << 18
+    rng = np.random.default_rng(5)
+    # synthetic-but-valid points: tile a small batch of true curve points
+    n_base = 64
+    G = cs.generator
+    base_pts = [cs.ref.mul(int(k), G) for k in rng.integers(1, 2**60, n_base)]
+    base = point.affine_from_ints(cs, base_pts)
+    reps = n // n_base
+    px = np.tile(np.asarray(base.x), (1, reps))
+    py = np.tile(np.asarray(base.y), (1, reps))
+    limbs = rng.integers(0, 1 << 16, size=(cs.fr.n_limbs, n), dtype=np.uint32)
+    pts = point.Affine(px, py)
+    want = msm(cs, point.Affine(np.asarray(px), np.asarray(py)),
+               np.asarray(limbs), c=12)
+    want_a = point.affine_to_ints(cs, point.jac_to_affine(cs, want)).item()
+
+    mesh = make_mesh(8)
+    spts = point.Affine(shard_batch(mesh, px), shard_batch(mesh, py))
+    s = shard_batch(mesh, limbs)
+    got = msm_sharded(cs, mesh, spts, s, c=12)
+    got_a = point.affine_to_ints(cs, point.jac_to_affine(cs, got)).item()
+    assert got_a == want_a
+
+
+@pytest.mark.slow
+def test_ntt_four_step_scale_2e20_matches_single():
+    """2^20 four-step NTT on the 8-device CPU mesh vs the plain device NTT
+    (VERDICT r04 #8), bit-equality asserted."""
+    spec = get_spec("bn254_fr")
+    n = 1 << 20
+    rng = np.random.default_rng(6)
+    limbs = rng.integers(0, 1 << 16, size=(spec.n_limbs, n), dtype=np.uint32)
+    limbs[-1] = rng.integers(
+        0, spec.modulus >> (16 * (spec.n_limbs - 1)), size=n, dtype=np.uint32)
+    a = np.asarray(limbs)
+    want = np.asarray(ntt(Domain(spec, n), a))
+    mesh = make_mesh(8)
+    got = np.asarray(ntt_sharded(spec, mesh, a, log2_rows=10))
+    assert np.array_equal(got, want)

@@ -39,9 +39,29 @@ def log(msg):
     print(f"[gates +{time.time()-T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _write_md(final=False):
+    lines = [
+        "# TPU bit-exactness gates",
+        "",
+        f"Backend: `{jax.default_backend()}`, wall: {time.time()-T0:.0f}s "
+        f"(tools/tpu_gates.py; SURVEY §7 milestone ② + VERDICT r04 #2/#3)"
+        + ("" if final else " — RUN IN PROGRESS"),
+        "",
+    ]
+    for name, ok, detail in RESULTS:
+        lines.append(f"- **{name}**: {'PASS' if ok else 'FAIL'}"
+                     + (f" — {detail}" if detail else ""))
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TPU_GATES.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return lines
+
+
 def record(name, ok, detail=""):
     RESULTS.append((name, ok, detail))
     log(f"{name}: {'PASS' if ok else 'FAIL'} {detail}")
+    _write_md()  # incremental: a cut-off run still leaves its record
 
 
 def gate_ntt():
@@ -90,6 +110,76 @@ def gate_msm():
     exact = msm(cs, pts, s, c=15)
     a_exact = point.affine_to_ints(cs, point.jac_to_affine(cs, exact))
     record("msm_2^16_fast_vs_exact", a_fast.item() == a_exact.item())
+
+
+def _bench_points_scalars(n, rng):
+    """Bench-shaped inputs: tiled points (2^16 distinct) + full-width
+    uniform scalars."""
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.curves import bn254, point
+    from gnark_crypto_tpu.curves.fixed_base import batch_scalar_mul_fixed_base
+    from gnark_crypto_tpu.fields import mont
+
+    cs = bn254()
+    n_base = min(n, 1 << 16)
+    ks = mont.from_ints(cs.fr, [int(x) for x in rng.integers(1, 2**62, n_base)],
+                        mont=False)
+    base = point.jac_to_affine(cs, batch_scalar_mul_fixed_base(
+        cs, cs.generator, ks))
+    if n > n_base:
+        reps = n // n_base
+        tile = jax.jit(lambda a: jnp.tile(a, (1, reps)))
+        pts = point.Affine(tile(base.x), tile(base.y))
+    else:
+        pts = base
+    limbs = rng.integers(0, 1 << 16, size=(cs.fr.n_limbs, n), dtype=np.uint32)
+    limbs[-1] = rng.integers(0, cs.fr.modulus >> (16 * (cs.fr.n_limbs - 1)),
+                             size=n, dtype=np.uint32)
+    return cs, pts, jnp.asarray(limbs)
+
+
+def gate_msm_2e24():
+    """Gate 4 (VERDICT r04 #3): BASELINE.md's literal wording — MSM at 2^24
+    bit-exact: msm_fast vs the exact segmented-scan path on the SAME input."""
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.curves import point
+    from gnark_crypto_tpu.msm.msm import msm
+    from gnark_crypto_tpu.msm.pallas_msm import fast_window, msm_fast
+
+    n = 1 << 24
+    rng = np.random.default_rng(4)
+    cs, pts, s = _bench_points_scalars(n, rng)
+    log("msm 2^24 gate: setup done")
+    c = fast_window(n, cs.fr.bits)
+    fast = msm_fast(cs, pts, s, c)
+    a_fast = point.affine_to_ints(cs, point.jac_to_affine(cs, fast))
+    log(f"msm 2^24 gate: fast path done (c={c})")
+    exact = msm(cs, pts, s, c=15)
+    a_exact = point.affine_to_ints(cs, point.jac_to_affine(cs, exact))
+    record("msm_2^24_fast_vs_exact", a_fast.item() == a_exact.item())
+
+
+def gate_ntt_2e24():
+    """Gate 5 (VERDICT r04 #3): NTT at 2^24, fused Pallas vs XLA path."""
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.fft import Domain, ntt, ntt_fused
+    from gnark_crypto_tpu.fields import get_spec
+
+    spec = get_spec("bn254_fr")
+    n = 1 << 24
+    d = Domain(spec, n, with_coset_tables=False)
+    rng = np.random.default_rng(5)
+    limbs = rng.integers(0, 1 << 16, size=(spec.n_limbs, n)).astype(np.uint32)
+    limbs[-1] = rng.integers(0, spec.modulus >> (16 * (spec.n_limbs - 1)),
+                             size=n, dtype=np.uint32)
+    a = jnp.asarray(limbs)
+    got = np.asarray(ntt_fused(d, a))
+    log("ntt 2^24 gate: fused done")
+    want = np.asarray(jax.jit(ntt)(d, a))
+    record("ntt_2^24_fused_vs_xla", (got == want).all())
 
 
 def gate_kzg(log2_srs: int):
@@ -154,22 +244,12 @@ def main():
         gate_msm()
     if "kzg" not in skip:
         gate_kzg(args.log2_srs)
+    if "msm24" not in skip:
+        gate_msm_2e24()
+    if "ntt24" not in skip:
+        gate_ntt_2e24()
 
-    lines = [
-        "# TPU bit-exactness gates",
-        "",
-        f"Backend: `{jax.default_backend()}`, "
-        f"wall: {time.time()-T0:.0f}s "
-        f"(tools/tpu_gates.py; VERDICT r03 #5 / SURVEY §7 milestone ②)",
-        "",
-    ]
-    for name, ok, detail in RESULTS:
-        lines.append(f"- **{name}**: {'PASS' if ok else 'FAIL'}"
-                     + (f" — {detail}" if detail else ""))
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "TPU_GATES.md")
-    with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    lines = _write_md(final=True)
     print("\n".join(lines))
     if not all(ok for _, ok, _ in RESULTS):
         sys.exit(1)
