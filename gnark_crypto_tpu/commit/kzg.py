@@ -246,7 +246,14 @@ def verify(tw, cs: CurveSpec, vk: VerifyingKey, commitment, proof: OpeningProof,
     (PairFixedQ, bn254/pairing.go:26); otherwise the generic 2-pair check."""
     r = cs.fr.modulus
     g2, tau_g2 = vk.g2
-    if _fixed_q_ctx(cs.name) is not None:
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    # fixed-Q on the TPU path; CPU/test sessions keep the single generic
+    # pairing graph (compiling BOTH graphs would double the CPU suite's
+    # dominant compile cost; tests/test_pairing_fixed.py covers fixed-Q)
+    if on_tpu and _fixed_q_ctx(cs.name) is not None:
         y_minus_c = cs.ref.add(
             cs.ref.mul(proof.claimed_value % r, vk.g1),
             cs.ref.neg(commitment))

@@ -541,9 +541,12 @@ def fast_window(n: int, bits: int) -> int:
             continue
         W = -(-(bits + 1) // c)
         p128_main, p128_top, nb_top = _plan(n, nb, q, c)
-        # ~1.3 kernel-slot-equivalents per sorted element (measured v5e:
-        # sort ~20ns/elt/window vs ~15ns/kernel slot)
-        cost = (W - 1) * p128_main * nb + p128_top * nb_top + 13 * W * n // 10
+        # measured v5e slot-equivalents: ~1.3 per sorted element (sort
+        # ~20ns/elt/window vs ~15ns/kernel slot) + ~1.3M per window of
+        # fixed cost (sort pass overheads, searchsorted, dispatch — the
+        # 2^18 regime is fixed-cost-bound, see MSM_LAYOUT.md)
+        cost = ((W - 1) * p128_main * nb + p128_top * nb_top
+                + 13 * W * n // 10 + 1_300_000 * W)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best if best is not None else 15
