@@ -351,7 +351,18 @@ def pow_const(spec: FieldSpec, a: jax.Array, e: int) -> jax.Array:
 
 
 def inverse(spec: FieldSpec, a: jax.Array) -> jax.Array:
-    """Fermat inverse a^(q-2); Inverse(0) = 0 by that formula automatically."""
+    """Fermat inverse a^(q-2); Inverse(0) = 0 by that formula automatically.
+
+    TPU decision note (vs the reference's Pornin constant-time ext-GCD,
+    ecc/bn254/fp/element.go:1173): Pornin's iteration is ~(2*bits/62)*62 ≈
+    620 data-dependent limb steps — cheap scalar ops on a CPU, but on TPU
+    each step is a full-width vector op inside lax.while_loop with the same
+    sequential depth class as Fermat's ~330 dependent multiplications, and
+    it vectorizes WORSE (per-lane divergent iteration counts must run to the
+    constant-time bound).  Fermat wins or ties in every regime here: batched
+    inversions use batch_inverse (2 muls/element amortized), serial ones are
+    latency-bound either way.  The reference's choice is arch-specific, not
+    protocol-relevant (both are exact)."""
     return pow_const(spec, a, spec.modulus - 2)
 
 
