@@ -70,6 +70,8 @@ _SLOW_IDS = (
     "test_kzg.py::test_open_verify_roundtrip",
     "test_kzg.py::test_batch_open_verify",
     "test_kzg.py::test_fold_proof_and_multi_points",
+    # three extra exact-path MSM compiles (chunked + resumed shapes)
+    "test_msm.py::test_msm_checkpointed_resume",
 )
 
 # parametrized field subsets: only these stay in the fast tier for the

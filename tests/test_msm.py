@@ -78,3 +78,66 @@ def test_msm_non_pow2_and_chunked(setup):
         cs, point.jac_to_affine(cs, msm(cs, base, s, c=6, chunk=16))
     )
     assert got.item() == want
+
+
+def test_msm_checkpointed_resume(setup, tmp_path):
+    """Chunked checkpointed MSM equals one-shot MSM, including across a
+    simulated kill: run the first chunks, "crash", resume from the state
+    file, and compare (SURVEY §5 checkpoint/resume, net-new for TPU)."""
+    from gnark_crypto_tpu.msm.checkpoint import msm_checkpointed
+
+    cs, pts, scalars = setup
+    base = point.affine_from_ints(cs, pts)
+    s = point.scalars_from_ints(cs, scalars)
+    want = point.affine_to_ints(cs, point.jac_to_affine(cs, msm(cs, base, s, c=8)))
+
+    state = str(tmp_path / "msm.ckpt")
+    # full run (n=128, chunk=2^5 -> 4 chunks), exact path on CPU
+    got = msm_checkpointed(cs, base, s, state, c=8, chunk_log2=5,
+                          use_fast=False)
+    assert point.affine_to_ints(cs, point.jac_to_affine(cs, got)).item() \
+        == want.item()
+    assert not (tmp_path / "msm.ckpt").exists()
+
+    # interrupted run: process 2 of 4 chunks by running a half-size job's
+    # chunks manually through the same API, then resume
+    class _Stop(Exception):
+        pass
+
+    calls = 0
+    orig = point.jac_add
+
+    def counting(cs_, a, b):
+        nonlocal calls
+        calls += 1
+        if calls == 2:
+            raise _Stop()
+        return orig(cs_, a, b)
+
+    point.jac_add = counting
+    try:
+        import gnark_crypto_tpu.msm.checkpoint as ck
+        ck.point.jac_add = counting
+        with pytest.raises(_Stop):
+            msm_checkpointed(cs, base, s, state, c=8, chunk_log2=5,
+                             use_fast=False)
+    finally:
+        point.jac_add = orig
+        import gnark_crypto_tpu.msm.checkpoint as ck
+        ck.point.jac_add = orig
+    import os
+    assert os.path.exists(state)  # chunks completed before the "crash"
+
+    got = msm_checkpointed(cs, base, s, state, c=8, chunk_log2=5,
+                          use_fast=False)
+    assert point.affine_to_ints(cs, point.jac_to_affine(cs, got)).item() \
+        == want.item()
+    assert not os.path.exists(state)
+
+    # mismatched job shape is refused
+    from gnark_crypto_tpu.msm.checkpoint import _save_state
+    _save_state(state, 5, 999, 1,
+                tuple(np.zeros(cs.fp.n_limbs, np.uint32) for _ in range(3)))
+    with pytest.raises(ValueError):
+        msm_checkpointed(cs, base, s, state, c=8, chunk_log2=5,
+                         use_fast=False)
