@@ -11,6 +11,8 @@ TPU-native analogue of the reference's fft.Domain (ecc/bn254/fr/fft/domain.go:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -18,17 +20,27 @@ from ..fields import mont
 from ..fields.spec import FieldSpec
 
 
-def powers(spec: FieldSpec, base: int, n: int):
-    """Device array [1, b, b^2, ..., b^(n-1)] (mont form) via doubling."""
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _powers_ladder(spec: FieldSpec, base_arr, n: int):
     arr = mont.one(spec, (1,))
-    if n == 1:
-        return arr
-    cur = mont.const(spec, base, (1,))  # base^len with len = arr length
+    cur = base_arr                      # base^len with len = arr length
     while arr.shape[1] < n:
         arr = jnp.concatenate([arr, mont.mul(spec, arr, cur)], axis=1)
         if arr.shape[1] < n:
             cur = mont.mul(spec, cur, cur)
     return arr[:, :n]
+
+
+def powers(spec: FieldSpec, base: int, n: int):
+    """Device array [1, b, b^2, ..., b^(n-1)] (mont form) via doubling.
+
+    One jitted ladder per (spec, n) with the base as a traced argument —
+    eager per-step dispatch costs ~20 remote compiles per call on the
+    tunneled-TPU platform (measured: the first SRS-2^20 KZG open spent
+    over an hour in it)."""
+    if n == 1:
+        return mont.one(spec, (1,))
+    return _powers_ladder(spec, mont.const(spec, base, (1,)), n)
 
 
 class Domain:
